@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline end-to-end on the
+sf0.001 tier; ``queries()`` / ``oracle_sql()`` expose the operator catalog
+(smoldocling_ocr_spark.plans.catalog) for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
@@ -15,24 +13,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full extract-to-markdown over the CC-style corpus
+    synthesized at sf0.001 scale (seed=42), returning the extracted table."""
+    from smoldocling_ocr_spark.sources.documents import read_cc_documents
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    docs = read_cc_documents(spark, "/root/testdata/sf0.001")
+    return extract_documents(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data ops: dedup, similarity search, text analysis)."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for each queries() key (omitted only for
+    genuinely non-SQL-expressible ops → rows-only check)."""
+    from smoldocling_ocr_spark.plans.catalog import oracle_queries
+
+    return oracle_queries()

@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: end-to-end extract-to-markdown wall time over the CC-style
+corpus (docs/sec reported alongside). Set BENCH_SCALING=1 to additionally run
+the extraction job at local[8] and local[32] on the same input and report
+throughput at both plus scaling efficiency (sandbox stand-in for N vs 4N
+executors per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "repeater_detection",
+    "confidence_statistics",
+    "column_gap_clustering",
+    "xycut_reading_order",
+    "caption_proximity_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embedding_cosine_neardup",
+    "token_counting",
+    "text_quality_scoring",
+    "doc_fingerprint",
+    "payload_size_tiers",
+]
+
+
+def _run_extraction(spark, sf_dir: str) -> tuple[int, float]:
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+    from smoldocling_ocr_spark.sources.documents import read_cc_documents
+
+    docs = read_cc_documents(spark, sf_dir)
+    t0 = time.time()
+    n = extract_documents(docs).count()
+    return n, time.time() - t0
+
+
+def main() -> None:
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+    from smoldocling_ocr_spark.session import get_spark
+    from smoldocling_ocr_spark.sources.documents import corpus_parquet_path
+
+    corpus_parquet_path(SF_DIR)  # synthesize corpus outside the timed region
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else 0.0
+
+    queries: dict[str, float] = {}
+
+    n_docs, extract_sec = _run_extraction(spark, SF_DIR)
+    queries["extract_to_markdown"] = round(extract_sec, 3)
+
+    catalog = spark_queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        catalog[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "extract_docs_per_sec",
+        "value": round(n_docs / extract_sec, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "docs": n_docs,
+        "cores": CPUS,
+    }
+
+    if os.environ.get("BENCH_SCALING"):
+        spark.stop()
+        scaling = {}
+        for cores in (8, 32):
+            s = get_spark(app_name=f"bench_scale_{cores}", cores=cores)
+            n, sec = _run_extraction(s, SF_DIR)
+            scaling[f"local[{cores}]"] = {"docs_per_sec": round(n / sec, 2), "sec": round(sec, 3)}
+            s.stop()
+        t_n = scaling["local[8]"]["docs_per_sec"]
+        t_4n = scaling["local[32]"]["docs_per_sec"]
+        result["scaling"] = {**scaling, "efficiency_n_to_4n": round(t_4n / t_n / 4.0, 4)}
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""End-to-end per-document extraction (the canonical pipeline).
+
+Stage order mirrors /root/reference/enhanced_pipeline.py:75-174 +
+structure_engine.py:326-481:
+
+  decode payload → per-page layout analysis (layout path only) → noise
+  tagging → caption/footnote linking → confidence stats → per-page annotated
+  render → loose hyphen merge → language detection → schema enforcement →
+  validation + quality gate.
+
+This single function is the byte-parity source of truth: golden fixtures are
+frozen from it, and the Spark pipeline invokes the very same code inside an
+Arrow-batched UDF, so parity is structural rather than aspirational.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from . import annotate, captions, confidence, langid, layout, layoutcodec, metadata, noise, textnorm, validate
+from .htmlstrip import extract_elements as html_extract_elements
+
+DEFAULT_PAGE_HEIGHT = 800.0
+
+
+def _looks_like_html(payload: bytes) -> bool:
+    head = payload[:256].lstrip().lower()
+    return head.startswith(b"<!doctype") or head.startswith(b"<html") or head.startswith(b"<head") or head.startswith(b"<body")
+
+
+def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list[dict[str, Any]]], list[float], dict[str, Any], str]:
+    """payload → (pages_elements, page_heights, doc_meta, method)."""
+    if layoutcodec.is_layout_payload(payload):
+        doc = layoutcodec.decode_layout(payload)
+        pages = [p.get("elements", []) for p in doc.get("pages", [])]
+        heights = [float(p.get("height", DEFAULT_PAGE_HEIGHT)) for p in doc.get("pages", [])]
+        return pages, heights, doc.get("meta", {}), "layout_ocr"
+    if _looks_like_html(payload):
+        elements = html_extract_elements(payload.decode("utf-8", errors="replace"))
+        height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
+        return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "html_dom"
+    # plain-text fallback source (the `text` column) — digital-path analog
+    text = text_fallback if text_fallback else payload.decode("utf-8", errors="replace")
+    elements = []
+    for i, para in enumerate([p for p in text.split("\n\n") if p.strip()], 1):
+        elements.append(
+            {
+                "type": "text",
+                "content": " ".join(para.split()),
+                "y": i * 20.0,
+                "font_size": 12.0,
+                "confidence": 1.0,
+                "reading_order": i,
+            }
+        )
+    height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
+    return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "text_layer"
+
+
+def run_layout_analysis(pages: list[list[dict[str, Any]]]) -> tuple[list[list[dict[str, Any]]], int]:
+    """Per-page geometric pass for bbox-bearing (layout) payloads."""
+    out: list[list[dict[str, Any]]] = []
+    max_columns = 0
+    for elements in pages:
+        with_bbox = [e for e in elements if e.get("bbox")]
+        if with_bbox and len(with_bbox) == len(elements):
+            result = layout.analyze_page(elements)
+            out.append(result["elements"])
+            max_columns = max(max_columns, result["column_count"])
+        else:
+            out.append(elements)
+            max_columns = max(max_columns, 1)
+    return out, max_columns
+
+
+def extract_document(
+    url: str,
+    warc_ts: Any,
+    payload: bytes,
+    text_fallback: str | None = None,
+) -> dict[str, Any]:
+    """One document row → {markdown, quality metrics, lineage fields}."""
+    pages, heights, doc_meta, method = decode_payload(payload, text_fallback)
+
+    if method == "layout_ocr":
+        pages, n_columns = run_layout_analysis(pages)
+    else:
+        n_columns = 1
+
+    pages, noise_report = noise.tag_document_noise(pages)
+    pages, link_report = captions.link_document(pages, heights)
+
+    conf_fields = confidence.to_frontmatter_fields(pages)
+
+    body = ""
+    for page_num, elements in enumerate(pages, 1):
+        height = heights[page_num - 1] if page_num - 1 < len(heights) else DEFAULT_PAGE_HEIGHT
+        body += annotate.render_page(elements, page_num, height)
+
+    body = textnorm.merge_hyphenated_words_loose(body)
+
+    page_texts = [
+        " ".join((e.get("content") or "") for e in elements if e.get("type") == "text")
+        for elements in pages
+    ]
+    lang_result = langid.detect_language_pages(page_texts)
+
+    structure = annotate.document_structure(pages)
+    meta = metadata.build_metadata(
+        url=url,
+        warc_ts=warc_ts,
+        payload=payload,
+        pages=len(pages),
+        extraction_method=method,
+        title=doc_meta.get("title", ""),
+        author=doc_meta.get("author", ""),
+        creation_date=doc_meta.get("creation_date", ""),
+    )
+    meta.update(conf_fields)
+    meta["language"] = lang_result["language"]
+    meta["detected_columns"] = n_columns
+    meta["has_tables"] = structure["has_tables"]
+    meta["has_figures"] = structure["has_figures"]
+
+    # The enhanced render path applies schema enforcement directly;
+    # normalize_markdown belongs to the digital/text path only
+    # (structure_engine.py:79 vs enhanced_pipeline.py:136-174).
+    if method == "text_layer":
+        body = textnorm.normalize_markdown(body)
+    markdown = validate_and_enforce(body, meta)
+
+    report = validate.validate_markdown(markdown)
+    gate = validate.quality_gate(markdown, report)
+
+    n_elements = sum(len(p) for p in pages)
+    return {
+        "url": url,
+        "markdown": markdown,
+        "method": method,
+        "language": lang_result["language"],
+        "pages": len(pages),
+        "elements": n_elements,
+        "quality_score": report["quality_score"],
+        "confidence_score": conf_fields["confidence_score"],
+        "validation_errors": report["errors"],
+        "validation_warnings": report["warnings"],
+        "hallucinations": report["hallucination_count"],
+        "gate_passed": gate["passed"],
+        "gate_action": gate["suggested_action"],
+        "quality_level": gate["quality_level"],
+        "captions_linked": link_report["captions_linked"],
+        "footnotes_linked": link_report["footnotes"],
+        "noise_tagged": noise_report["watermarks_tagged"]
+        + noise_report["page_numbers_tagged"]
+        + noise_report["artifacts_tagged"],
+        "document_id": meta["document_id"],
+    }
+
+
+def validate_and_enforce(markdown: str, meta: dict[str, Any]) -> str:
+    from . import schema_enforce
+
+    return schema_enforce.enforce_schema(markdown, meta)

@@ -1,0 +1,181 @@
+"""Output validation + quality-gate core.
+
+Reference semantics: /root/reference/validation_framework.py — schema checks
+(:84-153), content checks (:155-205), hallucination phrase bank (:34-43,
+:207-219), format checks (:221-242), the score
+``1 - 0.15*errors - 0.05*warnings - 0.01*infos`` (:244-255), and the quality
+gate thresholds / suggested actions (:290-389).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+HALLUCINATION_RES = [
+    re.compile(p)
+    for p in (
+        r"(?i)based on (the|this) (image|document|page)",
+        r"(?i)as (shown|seen|visible) in",
+        r"(?i)it (appears|seems) that",
+        r"(?i)I can (see|observe) that",
+        r"(?i)the (image|document) shows",
+        r"(?i)looking at (the|this)",
+        r"(?i)from what I can (see|tell)",
+        r"(?i)this (appears|seems) to be",
+    )
+]
+
+_PAGE_MARKER_RE = re.compile(r"<!--\s*page:\s*(\d+)\s*-->")
+_ROLE_RE = re.compile(r"<!--\s*role:\w+")
+_HEADING_LINE_RE = re.compile(r"^#{1,6}\s+", re.MULTILINE)
+_TABLE_LINE_RE = re.compile(r"^\|", re.MULTILINE)
+_HEADING_LEVELS_RE = re.compile(r"^(#{1,6})\s+", re.MULTILINE)
+
+
+def _issue(severity: str, category: str, message: str, line: int | None = None) -> dict[str, Any]:
+    return {"severity": severity, "category": category, "message": message, "line": line}
+
+
+def validate_markdown(text: str) -> dict[str, Any]:
+    """Run all checks → report dict with counts, score, and issue list."""
+    issues: list[dict[str, Any]] = []
+
+    # --- schema ---
+    if not text.strip().startswith("---"):
+        issues.append(_issue("error", "schema", "Missing YAML frontmatter"))
+    else:
+        fm_end = text.find("---", 3)
+        if fm_end == -1:
+            issues.append(_issue("error", "schema", "Incomplete YAML frontmatter"))
+        else:
+            fm = text[3:fm_end]
+            if "document:" not in fm:
+                issues.append(_issue("error", "schema", "Missing document section in frontmatter"))
+            if "source_file:" not in fm:
+                issues.append(_issue("warning", "schema", "Missing source_file in frontmatter"))
+            if "quality:" not in fm:
+                issues.append(_issue("warning", "schema", "Missing quality section in frontmatter"))
+
+    page_markers = _PAGE_MARKER_RE.findall(text)
+    if not page_markers:
+        issues.append(_issue("warning", "schema", "No page markers found"))
+    else:
+        pages = [int(p) for p in page_markers]
+        missing = set(range(1, max(pages) + 1)) - set(pages)
+        if missing:
+            issues.append(_issue("warning", "schema", f"Missing page markers: {sorted(missing)}"))
+
+    role_count = len(_ROLE_RE.findall(text))
+    headings = len(_HEADING_LINE_RE.findall(text))
+    tables = len(_TABLE_LINE_RE.findall(text)) // 2
+    if role_count < (headings + tables) * 0.5:
+        issues.append(
+            _issue("warning", "schema", f"Low annotation coverage: {role_count} annotations for {headings} headings and {tables} tables")
+        )
+
+    # --- content ---
+    content_start = 0
+    if text.startswith("---"):
+        fm_end = text.find("---", 3)
+        if fm_end > 0:
+            content_start = text.find("\n", fm_end) + 1
+    content_lines = text[content_start:].split("\n")
+    non_empty = [l for l in content_lines if l.strip() and not l.strip().startswith("<!--")]
+    if len(non_empty) < 3:
+        issues.append(_issue("error", "content", "Document appears to have very little content"))
+
+    uncertain = len(re.findall(r"\[uncertain:", text))
+    low_conf = len(re.findall(r"\[low-confidence:", text))
+    if uncertain > len(non_empty) * 0.3:
+        issues.append(_issue("warning", "content", f"High uncertainty: {uncertain} uncertain regions"))
+    if low_conf > len(non_empty) * 0.1:
+        issues.append(_issue("warning", "content", f"Many low-confidence regions: {low_conf}"))
+
+    levels = _HEADING_LEVELS_RE.findall(text)
+    if levels and len(levels[0]) != 1:
+        issues.append(_issue("info", "content", f"Document does not start with H1 (starts with H{len(levels[0])})"))
+
+    # --- hallucinations ---
+    for i, line in enumerate(text.split("\n"), 1):
+        for pattern in HALLUCINATION_RES:
+            if pattern.search(line):
+                issues.append(_issue("error", "hallucination", "Potential hallucination detected", i))
+                break
+
+    # --- format ---
+    for i, line in enumerate(text.split("\n"), 1):
+        if len(line) > 500 and not line.startswith("|"):
+            issues.append(_issue("info", "format", f"Very long line ({len(line)} chars)", i))
+        if line.strip().startswith("|") and not line.strip().endswith("|"):
+            issues.append(_issue("warning", "format", "Incomplete table row", i))
+
+    errors = sum(1 for i in issues if i["severity"] == "error")
+    warnings = sum(1 for i in issues if i["severity"] == "warning")
+    infos = sum(1 for i in issues if i["severity"] == "info")
+    score = max(0.0, min(1.0, 1.0 - errors * 0.15 - warnings * 0.05 - infos * 0.01))
+    hallucinations = sum(1 for i in issues if i["category"] == "hallucination")
+
+    return {
+        "is_valid": errors == 0,
+        "quality_score": round(score, 4),
+        "errors": errors,
+        "warnings": warnings,
+        "infos": infos,
+        "hallucination_detected": hallucinations > 0,
+        "hallucination_count": hallucinations,
+        "issues": issues,
+    }
+
+
+def quality_gate(
+    markdown_text: str,
+    report: dict[str, Any],
+    min_quality_score: float = 0.6,
+    max_hallucinations: int = 0,
+    max_errors: int = 2,
+    min_content_lines: int = 5,
+) -> dict[str, Any]:
+    """Threshold gate → pass/fail + suggested action + quality tier."""
+    failures: list[str] = []
+    if report["quality_score"] < min_quality_score:
+        failures.append(f"Quality score {report['quality_score']:.2f} < {min_quality_score}")
+    if report["hallucination_count"] > max_hallucinations:
+        failures.append(f"{report['hallucination_count']} hallucinations detected")
+    if report["errors"] > max_errors:
+        failures.append(f"{report['errors']} validation errors")
+    content_lines = len(
+        [l for l in markdown_text.split("\n") if l.strip() and not l.startswith("---") and not l.startswith("<!--")]
+    )
+    if content_lines < min_content_lines:
+        failures.append(f"Only {content_lines} content lines (min: {min_content_lines})")
+
+    if not failures:
+        action = "accept"
+    elif report.get("hallucination_count", 0) > 0:
+        action = "fallback_to_local_ocr"
+    elif report["quality_score"] < 0.3:
+        action = "reject_and_retry"
+    elif report["quality_score"] < 0.5:
+        action = "fallback_to_alternative"
+    else:
+        action = "accept_with_warnings"
+
+    score = report["quality_score"]
+    if score >= 0.9:
+        level = "excellent"
+    elif score >= 0.8:
+        level = "good"
+    elif score >= 0.6:
+        level = "acceptable"
+    elif score >= 0.4:
+        level = "poor"
+    else:
+        level = "unacceptable"
+
+    return {
+        "passed": not failures,
+        "failures": failures,
+        "suggested_action": action,
+        "quality_level": level,
+    }

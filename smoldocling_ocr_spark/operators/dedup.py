@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the ``documents`` table, each with a DuckDB oracle twin:
+
+* exact        — hash-groupBy on md5(text), keep min(doc_id)
+* n-gram Jaccard — word-3-gram shingles → shingle-equijoin → |∩|/|∪|
+* MinHash+LSH  — k md5-keyed min-hashes → banded buckets → candidate pairs
+  (cross-engine portable: the "hash" is the lexicographic min of
+  ``md5(seed || ':' || shingle)`` hex strings — identical in Spark & DuckDB)
+* SimHash      — 16-bit bit-majority signature; bit b of a token is
+  ``md5(b || ':' || token)[0] >= '8'`` (top bit of a uniform hash), again
+  engine-portable via pure string comparison
+
+Scale notes: shingle explode → groupBy/join shuffles on the shingle key;
+at 100 TB the LSH band-bucket join replaces the quadratic shingle join
+(candidates only), and the banded signature is 8 aggregates per doc —
+map-side partial aggregation keeps the shuffle narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.documents import read_table
+
+MINHASH_SEEDS = 8
+BAND_SIZE = 2
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) word n-grams of lower(text)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    shingle = F.explode(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).alias("shingle")
+    return docs.select("doc_id", shingle).distinct()
+
+
+_SHINGLES_SQL = """
+      SELECT DISTINCT doc_id,
+             toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           LATERAL unnest(range(greatest(len(toks) - 2, 0))) AS t(i)
+"""
+
+
+def register(query) -> None:
+    @query(
+        "dedup_exact",
+        sql="""
+        SELECT count(*) AS total_docs,
+               count(DISTINCT md5(text)) AS distinct_docs,
+               count(*) - count(DISTINCT md5(text)) AS duplicate_docs
+        FROM documents
+        """,
+    )
+    def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return docs.agg(
+            F.count("*").alias("total_docs"),
+            F.count_distinct(F.md5("text")).alias("distinct_docs"),
+            (F.count("*") - F.count_distinct(F.md5("text"))).alias("duplicate_docs"),
+        )
+
+    @query(
+        "dedup_exact_survivors",
+        sql="""
+        SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id, count(*) AS copies
+        FROM documents GROUP BY 1 HAVING count(*) >= 1 ORDER BY content_hash LIMIT 100
+        """,
+    )
+    def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return (
+            docs.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("copies"))
+            .orderBy("content_hash")
+            .limit(100)
+        )
+
+    @query(
+        "dedup_ngram_jaccard",
+        sql=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+        """,
+    )
+    def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        sh = _shingles(docs).cache()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+        return (
+            common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        )
+
+    band_sql = ",".join(str(b) for b in range(MINHASH_SEEDS // BAND_SIZE))
+    seed_sql = ",".join(str(s) for s in range(MINHASH_SEEDS))
+
+    @query(
+        "dedup_minhash_lsh",
+        sql=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+          SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+          FROM sh, LATERAL unnest([{seed_sql}]) AS s(seed)
+          GROUP BY doc_id, seed
+        ),
+        bands AS (
+          SELECT doc_id, seed // {BAND_SIZE} AS band,
+                 md5(string_agg(minh, ',' ORDER BY seed)) AS bucket
+          FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+        """,
+    )
+    def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        sh = _shingles(docs)
+        seeds = F.explode(F.array(*[F.lit(s) for s in range(MINHASH_SEEDS)])).alias("seed")
+        seeded = sh.select("doc_id", "shingle", seeds)
+        sig = seeded.groupBy("doc_id", "seed").agg(
+            F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias("minh")
+        )
+        bands = (
+            sig.groupBy("doc_id", (F.col("seed") / BAND_SIZE).cast("int").alias("band"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("seed", "minh"))), lambda s: s["minh"]
+                        ),
+                    )
+                ).alias("bucket")
+            )
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .orderBy("doc_a", "doc_b")
+        )
+
+    bit_exprs_sql = ", ".join(str(b) for b in range(16))
+
+    @query(
+        "dedup_simhash",
+        sql=f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+          ) WHERE tok <> ''
+        ),
+        bits AS (
+          SELECT doc_id, b,
+                 CASE WHEN sum(CASE WHEN substr(md5(b || ':' || tok), 1, 1) >= '8' THEN 1 ELSE 0 END) * 2
+                           >= count(*) THEN 1 ELSE 0 END AS bit
+          FROM toks, LATERAL unnest([{bit_exprs_sql}]) AS s(b)
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY b) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+    )
+    def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        ).filter(F.col("tok") != "").distinct()
+        bits_idx = F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b")
+        expanded = toks.select("doc_id", "tok", bits_idx)
+        token_bit = F.when(
+            F.substring(F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("tok"))), 1, 1) >= "8", 1
+        ).otherwise(0)
+        bits = expanded.groupBy("doc_id", "b").agg(
+            F.when(F.sum(token_bit) * 2 >= F.count("*"), 1).otherwise(0).alias("bit")
+        )
+        return (
+            bits.groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("b", "bit"))),
+                        lambda s: s["bit"].cast("string"),
+                    ),
+                ).alias("simhash")
+            )
+            .orderBy("doc_id")
+        )

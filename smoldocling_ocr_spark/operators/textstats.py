@@ -1,0 +1,152 @@
+"""Text-analysis operators: token counting, quality scoring, fingerprinting,
+language/script heuristics, size tiering.
+
+All JVM-side (built-in functions, no UDFs) — these are hot-path operations at
+100 TB and must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.documents import read_table
+
+_EN_STOPWORDS_RE = r"\b(the|and|is|in|to|of|a|for|that|it|with|as|was|be)\b"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def register(query) -> None:
+    @query(
+        "token_counting",
+        sql=f"""
+        SELECT lang,
+               sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS ws_tokens,
+               sum(length(regexp_extract_all(text, '{_BPE_RE}'))) AS bpe_tokens,
+               count(*) AS docs
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    )
+    def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        return (
+            docs.groupBy("lang")
+            .agg(F.sum(ws).alias("ws_tokens"), F.sum(bpe).alias("bpe_tokens"), F.count("*").alias("docs"))
+            .orderBy("lang")
+        )
+
+    @query(
+        "text_quality_scoring",
+        sql=f"""
+        SELECT doc_id,
+               round(least(length(text) / 500.0, 1.0) * 40
+                     + least(length(regexp_extract_all(lower(text), '{_EN_STOPWORDS_RE}')) * 1.0
+                             / greatest(length(regexp_split_to_array(text, '\\s+')), 1) * 5, 1.0) * 40
+                     + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                                    / greatest(length(text), 1) * 4, 1.0)) * 20, 2) AS quality
+        FROM documents ORDER BY doc_id
+        """,
+    )
+    def quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """0-100 rubric: 40 length + 40 stopword ratio + 20 low-punctuation —
+        the validator.py:177-254 additive-rubric pattern over raw text."""
+        docs = read_table(spark, sf_dir, "documents")
+        length_score = F.least(F.length("text") / 500.0, F.lit(1.0)) * 40
+        stop_hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_EN_STOPWORDS_RE), 0))
+        words = F.greatest(F.size(F.split(F.col("text"), r"\s+")), F.lit(1))
+        stop_score = F.least(stop_hits / words * 5, F.lit(1.0)) * 40
+        punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+        punct_score = (1.0 - F.least(punct / F.greatest(F.length("text"), F.lit(1)) * 4, F.lit(1.0))) * 20
+        return docs.select(
+            "doc_id", F.round(length_score + stop_score + punct_score, 2).alias("quality")
+        ).orderBy("doc_id")
+
+    @query(
+        "doc_fingerprint",
+        sql="""
+        SELECT doc_id,
+               substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fingerprint
+        FROM documents ORDER BY doc_id
+        """,
+    )
+    def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Normalized-content fingerprint (whitespace-collapse + lowercase →
+        md5[:16]) — the cache-key idiom of services/cache_manager.py:18-88."""
+        docs = read_table(spark, sf_dir, "documents")
+        norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        return docs.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint")).orderBy("doc_id")
+
+    @query(
+        "langid_script_heuristic",
+        sql="""
+        SELECT lang,
+               sum(CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) * 2 > length(text)
+                        THEN 1 ELSE 0 END) AS non_latin_docs,
+               count(*) AS docs
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    )
+    def langid_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Script-histogram language signal (language_detector.py:111-133),
+        relational projection: docs whose majority of chars are non-ASCII."""
+        docs = read_table(spark, sf_dir, "documents")
+        non_ascii = F.length(F.regexp_replace("text", "[ -~]", ""))
+        is_non_latin = non_ascii * 2 > F.length("text")
+        return (
+            docs.groupBy("lang")
+            .agg(
+                F.sum(F.when(is_non_latin, 1).otherwise(0)).alias("non_latin_docs"),
+                F.count("*").alias("docs"),
+            )
+            .orderBy("lang")
+        )
+
+    @query(
+        "payload_size_tiers",
+        sql="""
+        SELECT CASE WHEN n_chars <= 200 THEN 0 WHEN n_chars <= 400 THEN 1
+                    WHEN n_chars <= 800 THEN 2 ELSE 3 END AS tier,
+               count(*) AS docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY tier
+        """,
+    )
+    def size_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Size-tiered bucketing of payloads (north_rule: oversized-payload
+        routing; operators/pipeline.py with_payload_tier is the binary twin)."""
+        docs = read_table(spark, sf_dir, "documents")
+        tier = (
+            F.when(F.col("n_chars") <= 200, 0)
+            .when(F.col("n_chars") <= 400, 1)
+            .when(F.col("n_chars") <= 800, 2)
+            .otherwise(3)
+        )
+        return (
+            docs.groupBy(tier.alias("tier"))
+            .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars"))
+            .orderBy("tier")
+        )
+
+    @query(
+        "defragment_line_merge",
+        sql=r"""
+        SELECT doc_id,
+               length(regexp_split_to_array(text, '[.!?:]\s')) AS sentences,
+               length(regexp_split_to_array(text, '\n')) AS raw_lines
+        FROM documents ORDER BY doc_id LIMIT 100
+        """,
+    )
+    def defrag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """cleaner.py:179-211 defragmentation, relational projection: sentence
+        vs raw-line counts (the merge ratio the line-scan UDF produces)."""
+        docs = read_table(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), r"[.!?:]\s")).alias("sentences"),
+                F.size(F.split(F.col("text"), r"\n")).alias("raw_lines"),
+            )
+            .orderBy("doc_id")
+            .limit(100)
+        )

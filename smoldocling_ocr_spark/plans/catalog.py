@@ -1,0 +1,652 @@
+"""Operator catalog: Spark queries + DuckDB oracle twins.
+
+Every relationally-expressible operator from SURVEY.md §2 gets a Spark
+DataFrame formulation here and a semantically identical ANSI-SQL oracle the
+driver runs through DuckDB on the same parquet tables (region nation customer
+supplier part orders lineitem events documents embeddings). Column names are
+aliased identically on both sides (the driver hashes values after sorting
+columns by name).
+
+Non-SQL-expressible ops (the fused extraction UDF itself, flood-fill figure
+detection, the full multi-signal classifier) are exposed as rows-only checks
+(present in ``spark_queries`` with no oracle entry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.documents import read_table
+
+_SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _SPARK[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+    return wrap
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_SPARK)
+
+
+def oracle_queries() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 predicates / noise tagging (rlike banks over documents.text)
+# ---------------------------------------------------------------------------
+
+# Java-regex-safe subsets of the noise predicate banks (full Python-re banks
+# run in-UDF; these relational twins are the oracle-checkable projections).
+_PAGE_NUM_SQLRE = r"^(Page ?[0-9]+( of [0-9]+)?|[0-9]+ ?/ ?[0-9]+|- ?[0-9]+ ?-|[0-9]+)$"
+_WM_WORDS = r"^(CONFIDENTIAL|DRAFT|SAMPLE|PREVIEW|WATERMARK)$"
+
+
+@query(
+    "noise_page_number_tagging",
+    sql=f"""
+    SELECT source, count(*) AS docs,
+           sum(CASE WHEN regexp_matches(trim(text), '{_PAGE_NUM_SQLRE}') THEN 1 ELSE 0 END) AS page_number_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_noise_page_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """noise_filter.py:28-35 page-number predicate as an rlike disjunction."""
+    docs = read_table(spark, sf_dir, "documents")
+    is_pn = F.trim(F.col("text")).rlike(_PAGE_NUM_SQLRE)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(is_pn, 1).otherwise(0)).alias("page_number_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "garbled_text_predicate",
+    sql=r"""
+    SELECT count(*) AS garbled_docs FROM documents
+    WHERE regexp_matches(text, '[bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ]{5,}')
+       OR length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g')) * 2 > length(text)
+    """,
+)
+def q_garbled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """noise_filter.py:244-262 garbled-text check, relational form."""
+    docs = read_table(spark, sf_dir, "documents")
+    consonant_run = F.col("text").rlike(r"[bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ]{5,}")
+    specials = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9 \t\n]", ""))
+    high_special = specials * 2 > F.length(F.col("text"))
+    return docs.filter(consonant_run | high_special).agg(F.count("*").alias("garbled_docs"))
+
+
+@query(
+    "hallucination_scan",
+    sql=r"""
+    SELECT count(*) AS flagged_docs FROM documents
+    WHERE regexp_matches(lower(text), 'based on (the|this) (image|document|page)')
+       OR regexp_matches(lower(text), 'it (appears|seems) that')
+       OR regexp_matches(lower(text), 'as (shown|seen|visible) in')
+    """,
+)
+def q_hallucination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validation_framework.py:34-43 hallucination phrases over documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    flagged = (
+        t.rlike(r"based on (the|this) (image|document|page)")
+        | t.rlike(r"it (appears|seems) that")
+        | t.rlike(r"as (shown|seen|visible) in")
+    )
+    return docs.filter(flagged).agg(F.count("*").alias("flagged_docs"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repeater_detection",
+    sql="""
+    SELECT normalized, occurrences FROM (
+      SELECT regexp_replace(lower(trim(text)), '[0-9]+', '[NUM]', 'g') AS normalized,
+             count(*) AS occurrences
+      FROM documents GROUP BY 1
+    ) WHERE occurrences >= 2 ORDER BY occurrences DESC, normalized
+    """,
+)
+def q_repeater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/footer repeater detection (noise_filter.py:143-190): digit-mask
+    normalize → count across pages → threshold. Partial+final hash agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "[NUM]")
+    return (
+        docs.groupBy(normalized.alias("normalized"))
+        .agg(F.count("*").alias("occurrences"))
+        .filter(F.col("occurrences") >= 2)
+        .orderBy(F.desc("occurrences"), "normalized")
+    )
+
+
+@query(
+    "confidence_statistics",
+    sql="""
+    SELECT event_type,
+           round(avg(value), 4) AS avg_conf,
+           round(min(value), 4) AS min_conf,
+           round(max(value), 4) AS max_conf,
+           round(stddev_samp(value), 4) AS std_dev,
+           count(*) AS total_elements,
+           sum(CASE WHEN value < 0.7 THEN 1 ELSE 0 END) AS uncertain_count,
+           sum(CASE WHEN value < 0.5 THEN 1 ELSE 0 END) AS low_confidence_count
+    FROM (SELECT event_type, value / (max(value) OVER ()) AS value FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """confidence_tracker.py:103-144 statistics as groupBy aggregates
+    (events.value normalized to [0,1] plays the confidence column)."""
+    events = read_table(spark, sf_dir, "events")
+    conf = (F.col("value") / F.max("value").over(W.partitionBy())).alias("conf")
+    scored = events.select("event_type", conf)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.round(F.avg("conf"), 4).alias("avg_conf"),
+            F.round(F.min("conf"), 4).alias("min_conf"),
+            F.round(F.max("conf"), 4).alias("max_conf"),
+            F.round(F.stddev_samp("conf"), 4).alias("std_dev"),
+            F.count("*").alias("total_elements"),
+            F.sum(F.when(F.col("conf") < 0.7, 1).otherwise(0)).alias("uncertain_count"),
+            F.sum(F.when(F.col("conf") < 0.5, 1).otherwise(0)).alias("low_confidence_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "quality_score_rubric",
+    sql="""
+    SELECT user_id,
+           round(0.6 * avg(conf) + 0.2 * min(conf)
+                 + 0.2 * (1.0 - sum(CASE WHEN conf < 0.7 THEN 1 ELSE 0 END) * 1.0 / count(*)), 4) AS quality_score
+    FROM (SELECT user_id, value / (max(value) OVER ()) AS conf FROM events)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """confidence_tracker.py:277-306 overall score 0.6*avg+0.2*min+0.2*(1-unc%)."""
+    events = read_table(spark, sf_dir, "events")
+    conf = (F.col("value") / F.max("value").over(W.partitionBy())).alias("conf")
+    scored = events.select("user_id", conf)
+    unc_frac = F.sum(F.when(F.col("conf") < 0.7, 1).otherwise(0)) / F.count("*")
+    return (
+        scored.groupBy("user_id")
+        .agg(F.round(0.6 * F.avg("conf") + 0.2 * F.min("conf") + 0.2 * (1.0 - unc_frac), 4).alias("quality_score"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "quality_tiers",
+    sql="""
+    SELECT CASE WHEN avg_conf >= 0.9 THEN 'excellent' WHEN avg_conf >= 0.8 THEN 'good'
+                WHEN avg_conf >= 0.7 THEN 'acceptable' WHEN avg_conf >= 0.5 THEN 'poor'
+                ELSE 'very_poor' END AS quality, count(*) AS pages
+    FROM (SELECT user_id, avg(conf) AS avg_conf
+          FROM (SELECT user_id, value / (max(value) OVER ()) AS conf FROM events)
+          GROUP BY user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """confidence_tracker.py:241-275 page-quality tier ladder."""
+    events = read_table(spark, sf_dir, "events")
+    conf = (F.col("value") / F.max("value").over(W.partitionBy())).alias("conf")
+    per_page = events.select("user_id", conf).groupBy("user_id").agg(F.avg("conf").alias("avg_conf"))
+    tier = (
+        F.when(F.col("avg_conf") >= 0.9, "excellent")
+        .when(F.col("avg_conf") >= 0.8, "good")
+        .when(F.col("avg_conf") >= 0.7, "acceptable")
+        .when(F.col("avg_conf") >= 0.5, "poor")
+        .otherwise("very_poor")
+    )
+    return per_page.groupBy(tier.alias("quality")).agg(F.count("*").alias("pages")).orderBy("quality")
+
+
+@query(
+    "word_char_counts",
+    sql="""
+    SELECT lang, sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS words,
+           sum(length(text)) AS chars, count(*) AS docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata_extractor.py:102-107 word/char counting as size(split(...))."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum(words).alias("words"), F.sum(F.length("text")).alias("chars"), F.count("*").alias("docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "body_font_mode",
+    sql="""
+    SELECT l_returnflag AS grp, max_by(l_quantity, cnt * 1000000 + l_quantity) AS mode_value FROM (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1, 2
+    ) GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fast_converter.py:6-15 body-font-size mode via max_by(value, count);
+    count ties break deterministically toward the larger value."""
+    li = read_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    tie_safe = F.col("cnt") * 1000000 + F.col("l_quantity")
+    return (
+        counted.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.max_by("l_quantity", tie_safe).alias("mode_value"))
+        .orderBy("grp")
+    )
+
+
+@query(
+    "completeness_estimate",
+    sql="""
+    SELECT doc_id, n_chars,
+           CASE WHEN length(text) BETWEEN n_chars * 0.8 AND n_chars * 1.5 THEN 'complete'
+                WHEN length(text) < n_chars * 0.8 THEN 'truncated' ELSE 'padded' END AS completeness
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openrouter_validator.py:160-213 ground-truth ±(0.8,1.5)× completeness."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    label = (
+        F.when((n >= F.col("n_chars") * 0.8) & (n <= F.col("n_chars") * 1.5), "complete")
+        .when(n < F.col("n_chars") * 0.8, "truncated")
+        .otherwise("padded")
+    )
+    return docs.select("doc_id", "n_chars", label.alias("completeness")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / ordering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "column_gap_clustering",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_value IS NULL OR value - prev_value > 50 THEN 1 ELSE 0 END AS new_col
+      FROM ordered
+    )
+    SELECT user_id, count(*) AS n_events,
+           sum(new_col) AS column_count
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_gap_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """layout_analyzer.py:24-75 gap clustering as lag + flag + running sum —
+    the classic session-gap window pattern (threshold 50)."""
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_col",
+        F.when(
+            F.lag("value").over(w).isNull() | (F.col("value") - F.lag("value").over(w) > 50), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("new_col").alias("column_count"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "xycut_reading_order",
+    sql="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_type, ts, event_id) AS reading_order
+    FROM events ORDER BY user_id, reading_order
+    """,
+)
+def q_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """layout_analyzer.py:112-151 XY-cut as row_number over (column, y) —
+    event_type plays column_id, ts plays the y coordinate."""
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    return events.select("event_id", "user_id", F.row_number().over(w).alias("reading_order")).orderBy(
+        "user_id", "reading_order"
+    )
+
+
+@query(
+    "top_bottom_candidates",
+    sql="""
+    SELECT user_id, event_id, pos FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_top,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_bot,
+             CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 3 THEN 'top' ELSE 'bottom' END AS pos
+      FROM events
+    ) WHERE rn_top <= 3 OR rn_bot <= 3 ORDER BY user_id, event_id, pos
+    """,
+)
+def q_top_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """noise_filter.py:157-179 top/bottom-3 header/footer candidates."""
+    events = read_table(spark, sf_dir, "events")
+    w_top = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_bot = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    return (
+        ranked.filter((F.col("rn_top") <= 3) | (F.col("rn_bot") <= 3))
+        .select("user_id", "event_id", F.when(F.col("rn_top") <= 3, "top").otherwise("bottom").alias("pos"))
+        .orderBy("user_id", "event_id", "pos")
+    )
+
+
+@query(
+    "prev_next_gap_context",
+    sql="""
+    SELECT event_id, user_id,
+           round(coalesce(value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS gap_before,
+           round(coalesce(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 0.0), 6) AS gap_after
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q_prev_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """layout_analyzer.py:210-222 prev/next whitespace gaps via lag/lead."""
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)), 6).alias("gap_before"),
+        F.round(F.coalesce(F.lead("value").over(w) - F.col("value"), F.lit(0.0)), 6).alias("gap_after"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "heading_promotion",
+    sql="""
+    SELECT o_orderkey, o_custkey - min_key + 1 AS normalized_level FROM (
+      SELECT o_orderkey, o_custkey, min(o_custkey) OVER () AS min_key FROM orders
+    ) ORDER BY o_orderkey
+    """,
+)
+def q_heading_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_enforcer.py:136-147 min-level promotion: global min via window,
+    subtract (min-1) from every level."""
+    orders = read_table(spark, sf_dir, "orders")
+    min_key = F.min("o_custkey").over(W.partitionBy())
+    return orders.select(
+        "o_orderkey", (F.col("o_custkey") - min_key + 1).alias("normalized_level")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "history_topk",
+    sql="""
+    SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """history_manager.py:30-48 rolling display window as sort+limit (TopK)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.select("event_id", "ts").orderBy(F.desc("ts"), F.desc("event_id")).limit(10)
+
+
+@query(
+    "sequentiality_check",
+    sql="""
+    SELECT o_orderkey AS doc, count(*) AS markers,
+           CASE WHEN count(*) = max(l_linenumber) THEN true ELSE false END AS is_sequential
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey ORDER BY doc
+    """,
+)
+def q_sequentiality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validation_framework.py:124-141 page-marker 1..N sequence check."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy(F.col("o_orderkey").alias("doc"))
+        .agg(
+            F.count("*").alias("markers"),
+            (F.count("*") == F.max("l_linenumber")).alias("is_sequential"),
+        )
+        .orderBy("doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "caption_proximity_join",
+    sql="""
+    WITH captions AS (SELECT event_id AS caption_id, user_id, value AS y FROM events WHERE event_type = 'click'),
+         targets  AS (SELECT event_id AS target_id,  user_id, value AS y FROM events WHERE event_type = 'view')
+    SELECT caption_id, target_id, round(dist, 6) AS dist FROM (
+      SELECT c.caption_id, t.target_id, abs(t.y - c.y) AS dist,
+             row_number() OVER (PARTITION BY c.caption_id ORDER BY abs(t.y - c.y), t.target_id) AS rn
+      FROM captions c JOIN targets t ON c.user_id = t.user_id AND abs(t.y - c.y) < 100
+    ) WHERE rn = 1 ORDER BY caption_id
+    """,
+)
+def q_caption_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """caption_extractor.py:132-152 nearest-target-within-100 as a range join
+    + min-by-distance window; equi key (user_id ~ url,page) → hash join."""
+    events = read_table(spark, sf_dir, "events")
+    captions = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("caption_id"), "user_id", F.col("value").alias("cy")
+    )
+    targets = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("target_id"), "user_id", F.col("value").alias("ty")
+    )
+    dist = F.abs(F.col("ty") - F.col("cy"))
+    joined = captions.join(targets, on="user_id").where(dist < 100).withColumn("dist", dist)
+    w = W.partitionBy("caption_id").orderBy("dist", "target_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("caption_id", "target_id", F.round("dist", 6).alias("dist"))
+        .orderBy("caption_id")
+    )
+
+
+@query(
+    "repeater_semi_join",
+    sql="""
+    SELECT count(*) AS tagged FROM documents d
+    WHERE EXISTS (
+      SELECT 1 FROM (
+        SELECT regexp_replace(lower(trim(text)), '[0-9]+', '[NUM]', 'g') AS norm, count(*) AS c
+        FROM documents GROUP BY 1 HAVING count(*) >= 2
+      ) r WHERE regexp_replace(lower(trim(d.text)), '[0-9]+', '[NUM]', 'g') = r.norm
+    )
+    """,
+)
+def q_repeater_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleaner.py:126-152 repeater tagging as a broadcast semi join back onto
+    the element relation."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "[NUM]")
+    normalized = docs.select(norm.alias("norm"))
+    repeaters = normalized.groupBy("norm").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    return (
+        normalized.join(F.broadcast(repeaters.select("norm")), on="norm", how="left_semi")
+        .agg(F.count("*").alias("tagged"))
+    )
+
+
+@query(
+    "interval_containment_join",
+    sql="""
+    SELECT count(*) AS contained FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity BETWEEN p.p_size * 0.5 AND p.p_size * 2.0
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """layout_analyzer.py:89-110 element→column interval containment as a
+    range-predicate join (x_min <= cx <= x_max analog)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey).where(
+        (F.col("l_quantity") >= F.col("p_size") * 0.5) & (F.col("l_quantity") <= F.col("p_size") * 2.0)
+    )
+    return joined.agg(F.count("*").alias("contained"))
+
+
+@query(
+    "cache_resume_anti_join",
+    sql="""
+    SELECT count(*) AS pending FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    """,
+)
+def q_resume_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app.py:242-249 cache-hit short-circuit as a left_anti join (the
+    checkpoint-resume primitive)."""
+    docs = read_table(spark, sf_dir, "documents")
+    done = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(done, on="doc_id", how="left_anti").agg(F.count("*").alias("pending"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar string / normalization twins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unicode_dash_normalize",
+    sql="""
+    SELECT sum(CASE WHEN text LIKE '%—%' OR text LIKE '%–%' OR text LIKE '%−%' THEN 1 ELSE 0 END) AS docs_with_dashes,
+           sum(length(replace(replace(replace(replace(text, '—', '-'), '–', '-'), '−', '-'), '―', '-'))) AS normalized_chars
+    FROM documents
+    """,
+)
+def q_dash_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleaner.py:237-244 unicode-dash normalization via translate/replace."""
+    docs = read_table(spark, sf_dir, "documents")
+    has_dash = (
+        F.col("text").contains("—") | F.col("text").contains("–") | F.col("text").contains("−")
+    )
+    normalized = F.translate(F.col("text"), "—–−―", "----")
+    return docs.agg(
+        F.sum(F.when(has_dash, 1).otherwise(0)).alias("docs_with_dashes"),
+        F.sum(F.length(normalized)).alias("normalized_chars"),
+    )
+
+
+@query(
+    "collapse_whitespace_normalize",
+    sql="""
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS normalized
+    FROM documents ORDER BY doc_id LIMIT 50
+    """,
+)
+def q_ws_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleaner.py:95 lowercase + whitespace-collapse normalization."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("normalized"))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "document_id_sha256",
+    sql="""
+    SELECT doc_id, substring(sha256(text), 1, 16) AS document_id FROM documents ORDER BY doc_id
+    """,
+)
+def q_document_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata_extractor.py:58-75 sha256[:16] document id — built-in sha2."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("document_id")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis (delegated modules)
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup as _dedup          # noqa: E402
+from ..operators import simsearch as _simsearch  # noqa: E402
+from ..operators import textstats as _textstats  # noqa: E402
+
+_dedup.register(query)
+_simsearch.register(query)
+_textstats.register(query)
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible rows-only checks (fused UDF pipeline)
+# ---------------------------------------------------------------------------
+
+
+@query("extract_pipeline_full")  # rows-only: markdown render is not SQL-expressible
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fused pipeline over the CC-style corpus (per-url markdown
+    + quality metrics). Byte parity is enforced by tests/test_golden.py."""
+    from ..sources.documents import read_cc_documents
+    from ..operators.pipeline import extract_documents
+
+    docs = read_cc_documents(spark, sf_dir)
+    return extract_documents(docs).orderBy("url")
+
+
+@query("extract_language_detection")  # rows-only: char-level scripts loop
+def q_extract_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid over the CC corpus (language_detector.py semantics in-UDF)."""
+    from pyspark.sql import types as T
+
+    from ..functions.langid import detect_language
+    from ..sources.documents import read_cc_documents
+
+    docs = read_cc_documents(spark, sf_dir)
+    lang_of = F.pandas_udf(
+        lambda texts: texts.map(lambda t: detect_language(t or "")["language"]),
+        T.StringType(),
+    )
+    return (
+        docs.select("url", "lang", lang_of(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang", "detected")
+    )
