@@ -43,11 +43,18 @@ BENCH_QUERIES = [
 ]
 
 
-def _run_extraction(spark, sf_dir: str) -> tuple[int, float]:
+def _run_extraction(spark, sf_dir: str, warmup: bool = True) -> tuple[int, float]:
+    """Time the steady-state extraction job. A small warm-up run first pays
+    the one-time JVM codegen + Python-worker spin-up cost outside the timed
+    region — on a long-lived cluster that cost is amortized to zero, and
+    including it would make the scaling-efficiency comparison measure
+    startup, not throughput."""
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
     from smoldocling_ocr_spark.sources.documents import read_cc_documents
 
     docs = read_cc_documents(spark, sf_dir)
+    if warmup:
+        extract_documents(docs.limit(64)).count()
     t0 = time.time()
     n = extract_documents(docs).count()
     return n, time.time() - t0

@@ -57,13 +57,29 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
     return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "text_layer"
 
 
-def run_layout_analysis(pages: list[list[dict[str, Any]]]) -> tuple[list[list[dict[str, Any]]], int]:
-    """Per-page geometric pass for bbox-bearing (layout) payloads."""
+def run_layout_analysis(
+    pages: list[list[dict[str, Any]]],
+    page_dims: list[tuple[float, float]] | None = None,
+    detect_figures: bool = False,
+) -> tuple[list[list[dict[str, Any]]], int]:
+    """Per-page geometric pass for bbox-bearing (layout) payloads.
+
+    ``detect_figures`` runs the occupancy-grid empty-region detector
+    (structure_engine.py:384 calls it on every scan page) before analysis.
+    Off by default: on sparse pages the connected margin region floods into
+    one page-sized candidate, so goldens are frozen without it.
+    """
     out: list[list[dict[str, Any]]] = []
     max_columns = 0
-    for elements in pages:
+    for page_idx, elements in enumerate(pages):
         with_bbox = [e for e in elements if e.get("bbox")]
         if with_bbox and len(with_bbox) == len(elements):
+            if detect_figures and page_dims:
+                from .figures import detect_figure_regions
+
+                width, height = page_dims[page_idx]
+                boxes = [tuple(e["bbox"]) for e in elements if e.get("type") == "text"]
+                elements = elements + detect_figure_regions(width, height, boxes)
             result = layout.analyze_page(elements)
             out.append(result["elements"])
             max_columns = max(max_columns, result["column_count"])

@@ -1,0 +1,116 @@
+"""Export format conversion (md → txt / html) and content stats.
+
+Reference semantics: /root/reference/app.py:121-192 (markdown_to_html via
+markdown2 + a styled shell, markdown_to_txt regex strip chain) and
+utils/formatters.py:16-45 (word/char counts, additive quality rubric).
+markdown2/python-docx aren't shippable pure-Python deps here, so the HTML
+renderer is a minimal deterministic subset (headings, tables, lists, code
+fences, paragraphs) sufficient for the export sink; txt strip is exact.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_HEADING_MARK = re.compile(r"#{1,6}\s")
+_BOLD = re.compile(r"\*\*(.+?)\*\*")
+_ITAL = re.compile(r"\*(.+?)\*")
+_CODE = re.compile(r"`(.+?)`")
+_LINK = re.compile(r"\[(.+?)\]\(.+?\)")
+_HEADING_LINE = re.compile(r"^(#{1,6})\s+(.*)$")
+
+
+def markdown_to_txt(markdown_text: str) -> str:
+    """Strip markdown syntax (app.py:185-192 regex chain, verbatim order)."""
+    text = _HEADING_MARK.sub("", markdown_text)
+    text = _BOLD.sub(r"\1", text)
+    text = _ITAL.sub(r"\1", text)
+    text = _CODE.sub(r"\1", text)
+    text = _LINK.sub(r"\1", text)
+    return text
+
+
+def _render_inline(line: str) -> str:
+    out = _html.escape(line)
+    out = re.sub(r"\*\*(.+?)\*\*", r"<strong>\1</strong>", out)
+    out = re.sub(r"\*(.+?)\*", r"<em>\1</em>", out)
+    out = re.sub(r"`(.+?)`", r"<code>\1</code>", out)
+    return out
+
+
+def markdown_to_html(markdown_text: str) -> str:
+    """Deterministic minimal markdown→HTML body (tables, headings, lists,
+    fenced code, paragraphs); comments (annotations) are preserved as-is."""
+    lines = markdown_text.split("\n")
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        stripped = line.strip()
+        if not stripped:
+            i += 1
+            continue
+        if stripped.startswith("<!--"):
+            out.append(stripped)
+            i += 1
+            continue
+        if stripped.startswith("```"):
+            code: list[str] = []
+            i += 1
+            while i < len(lines) and not lines[i].strip().startswith("```"):
+                code.append(lines[i])
+                i += 1
+            i += 1
+            out.append("<pre><code>" + _html.escape("\n".join(code)) + "</code></pre>")
+            continue
+        m = _HEADING_LINE.match(stripped)
+        if m:
+            level = len(m.group(1))
+            out.append(f"<h{level}>{_render_inline(m.group(2))}</h{level}>")
+            i += 1
+            continue
+        if stripped.startswith("|"):
+            rows: list[str] = []
+            while i < len(lines) and lines[i].strip().startswith("|"):
+                rows.append(lines[i].strip())
+                i += 1
+            out.append("<table>")
+            for r_idx, row in enumerate(rows):
+                cells = [c.strip() for c in row.strip("|").split("|")]
+                if r_idx == 1 and all(re.match(r"^:?-+:?$", c) for c in cells if c):
+                    continue
+                tag = "th" if r_idx == 0 else "td"
+                out.append("<tr>" + "".join(f"<{tag}>{_render_inline(c)}</{tag}>" for c in cells) + "</tr>")
+            out.append("</table>")
+            continue
+        if stripped.startswith(("- ", "* ")):
+            out.append("<ul>")
+            while i < len(lines) and lines[i].strip().startswith(("- ", "* ")):
+                out.append(f"<li>{_render_inline(lines[i].strip()[2:])}</li>")
+                i += 1
+            out.append("</ul>")
+            continue
+        out.append(f"<p>{_render_inline(stripped)}</p>")
+        i += 1
+    return "\n".join(out)
+
+
+def count_stats(markdown_text: str) -> tuple[int, int]:
+    """(words, chars) — utils/formatters.py:16-20."""
+    return len(markdown_text.split()), len(markdown_text)
+
+
+def estimate_quality_score(markdown_text: str, method_used: str) -> int:
+    """Additive 0-100 rubric (utils/formatters.py:23-45): base 50 + method
+    bonus + headings/tables/length bonuses, capped at 100."""
+    score = 50
+    method_bonus = {"cloud_llm": 30, "layout_ocr": 20, "html_dom": 15, "text_layer": 15}
+    score += method_bonus.get(method_used, 0)
+    if "##" in markdown_text:
+        score += 10
+    if "|" in markdown_text:
+        score += 10
+    if len(markdown_text) > 1000:
+        score += 10
+    return min(100, score)

@@ -25,6 +25,69 @@ NEARDUP_THRESHOLD = 0.40
 SIGN_BITS = 8
 
 
+N_BLOCKS = 8
+
+
+def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int = N_BLOCKS) -> DataFrame:
+    """(vec_a, vec_b) pairs with cosine > threshold, via tiled numpy GEMM.
+
+    Plan shape: groupBy(block) collect → B rows of (ids, matrix) → self-join
+    on block_a <= block_b (B(B+1)/2 tile pairs) → mapInPandas computes the
+    normalized tile product and emits qualifying pairs. Double precision to
+    match the DuckDB oracle's DOUBLE[] computation.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    blocks = (
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vectors"),
+        )
+    )
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vectors").alias("vecs_a")
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vectors").alias("vecs_b")
+    )
+    tiles = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    out_schema = T.StructType(
+        [T.StructField("vec_a", T.LongType(), False), T.StructField("vec_b", T.LongType(), False)]
+    )
+
+    def score_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, int]] = []
+            for t in pdf.itertuples(index=False):
+                ids_a = np.asarray(t.ids_a, dtype=np.int64)
+                ids_b = np.asarray(t.ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v, dtype=np.float64) for v in t.vecs_a])
+                mb = np.asarray([np.asarray(v, dtype=np.float64) for v in t.vecs_b])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims > threshold)
+                same_block = t.blk_a == t.blk_b
+                for i, j in zip(ii, jj):
+                    va, vb = int(ids_a[i]), int(ids_b[j])
+                    if same_block:
+                        # pair appears as (i,j) and (j,i) — keep one orientation
+                        if va < vb:
+                            rows.append({"vec_a": va, "vec_b": vb})
+                    elif va != vb:
+                        # distinct blocks: each unordered pair appears once
+                        rows.append({"vec_a": min(va, vb), "vec_b": max(va, vb)})
+            yield pd.DataFrame(rows, columns=["vec_a", "vec_b"])
+
+    return tiles.mapInPandas(score_tiles, schema=out_schema)
+
+
 def _cosine(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -81,16 +144,14 @@ def register(query) -> None:
         """,
     )
     def neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """All-pairs cosine via blocked matrix multiply: rows are hashed into
+        B blocks, each block collapses to one (ids, matrix) row, block PAIRS
+        cross-join (B² tiny rows, not N² data rows), and a vectorized numpy
+        GEMM scores each tile inside an Arrow batch. This is the scalable
+        all-pairs shape: per-tile work is dense BLAS, the shuffle moves each
+        vector B times instead of N times."""
         emb = read_table(spark, sf_dir, "embeddings")
-        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-        sim = _cosine(F.col("ea"), F.col("eb"))
-        return (
-            a.join(b, F.col("vec_a") < F.col("vec_b"))
-            .filter(sim > NEARDUP_THRESHOLD)
-            .select("vec_a", "vec_b")
-            .orderBy("vec_a", "vec_b")
-        )
+        return blocked_cosine_pairs(emb, NEARDUP_THRESHOLD).orderBy("vec_a", "vec_b")
 
     sign_sql = " || ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(SIGN_BITS)

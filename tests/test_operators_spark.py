@@ -1,0 +1,166 @@
+"""Spark operator tests: staged element pipeline, streaming adapter,
+multimodal plumbing, figure detection, export formats."""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture(scope="module")
+def cc_docs(spark):
+    from smoldocling_ocr_spark.sources.documents import read_cc_documents
+
+    return read_cc_documents(spark, "/root/testdata/sf0.001").cache()
+
+
+def test_parse_elements_relation(spark, cc_docs):
+    from smoldocling_ocr_spark.operators.stages import parse_elements
+
+    elements = parse_elements(cc_docs).cache()
+    assert elements.count() > 100
+    kinds = {r["type"] for r in elements.select("type").distinct().collect()}
+    assert "text" in kinds and "table" in kinds
+    # layout payloads carry full bboxes
+    with_bbox = elements.filter(F.col("x0").isNotNull())
+    assert with_bbox.count() > 0
+
+
+def test_analyze_layout_grouped_map(spark, cc_docs):
+    from smoldocling_ocr_spark.operators.stages import analyze_layout, parse_elements
+
+    layout_docs = cc_docs.filter(F.col("url").contains("/layout/")).limit(3)
+    elements = parse_elements(layout_docs)
+    analyzed = analyze_layout(elements).cache()
+    assert analyzed.count() == elements.count()
+    roles = {r["semantic_role"] for r in analyzed.select("semantic_role").distinct().collect()}
+    assert "paragraph" in roles
+    # reading order is 1..N per page
+    per_page = analyzed.groupBy("url", "page").agg(
+        F.min("reading_order").alias("lo"), F.max("reading_order").alias("hi"), F.count("*").alias("n")
+    )
+    for r in per_page.collect():
+        assert r["lo"] == 1
+        assert r["hi"] <= r["n"] + 1  # low-conf postfix may share rank N+1
+
+
+def test_table_membership_anti_join(spark, cc_docs):
+    from smoldocling_ocr_spark.operators.stages import parse_elements, table_membership_filter
+
+    elements = parse_elements(cc_docs.filter(F.col("url").contains("/layout/")))
+    texts = elements.filter(F.col("type") == "text")
+    kept = table_membership_filter(elements)
+    assert kept.count() <= texts.count()
+
+
+def test_streaming_foreachbatch(spark, cc_docs, tmp_path):
+    from smoldocling_ocr_spark.streaming.adapter import start_extract_stream
+
+    src = str(tmp_path / "src")
+    cc_docs.limit(6).write.parquet(src)
+    stream = spark.readStream.schema(cc_docs.schema).parquet(src)
+    q = start_extract_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 6
+    assert "markdown" in out.columns
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", width, height) + b"\x08\x06" + b"\x00" * 100
+    )
+
+
+def test_multimodal_probe_and_features(spark):
+    from smoldocling_ocr_spark.operators.multimodal import extract_features, frame_sample, probe_media
+
+    rows = [
+        Row(key="a", media=bytearray(_png_bytes(640, 480))),
+        Row(key="b", media=bytearray(b"GIF89a" + struct.pack("<HH", 32, 16) + b"\0" * 50)),
+        Row(key="c", media=bytearray(b"\x00\x01garbage" * 20)),
+    ]
+    df = spark.createDataFrame(rows)
+    meta = {r["key"]: r for r in probe_media(df).collect()}
+    assert meta["a"]["format"] == "png" and meta["a"]["width"] == 640 and meta["a"]["height"] == 480
+    assert meta["b"]["format"] == "gif" and meta["b"]["width"] == 32
+    assert meta["c"]["format"] == "unknown"
+
+    feats = {r["key"]: r["features"] for r in extract_features(df).collect()}
+    assert len(feats["a"]) == 64
+    assert abs(sum(feats["a"]) - 1.0) < 1e-3  # normalized histogram
+
+    frames = frame_sample(df, n_frames=4).collect()
+    assert len(frames) == 12
+    offsets = sorted(r["byte_offset"] for r in frames if r["key"] == "a")
+    assert offsets[0] == 0 and offsets[-1] > 0
+
+
+def test_decode_image_stub():
+    from smoldocling_ocr_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(_png_bytes(8, 8))
+    fake = decode_image(_png_bytes(8, 8), fake=True)
+    assert fake.shape == (8, 8, 3)
+
+
+def test_occupancy_grid_figures():
+    from smoldocling_ocr_spark.functions.figures import detect_figure_regions
+
+    # text fills the page except a 200x200 hole at (300..500, 300..500)
+    boxes = []
+    for y in range(0, 800, 50):
+        for x in range(0, 800, 50):
+            if 300 <= x < 500 and 300 <= y < 500:
+                continue
+            boxes.append((x, y, x + 50, y + 50))
+    regions = detect_figure_regions(800, 800, boxes)
+    assert len(regions) == 1
+    assert regions[0]["bbox"] == (300, 300, 500, 500)
+    assert regions[0]["content"] == "[Figure: 200x200px]"
+    # no text at all → no regions (reference early-exit)
+    assert detect_figure_regions(800, 800, []) == []
+
+
+def test_export_formats():
+    from smoldocling_ocr_spark.functions.formats import count_stats, estimate_quality_score, markdown_to_html, markdown_to_txt
+
+    md = "## Title\n\nSome **bold** and `code`.\n\n| A | B |\n|---|---|\n| 1 | 2 |\n\n- item one\n"
+    txt = markdown_to_txt(md)
+    assert "Title" in txt and "#" not in txt and "**" not in txt
+    html = markdown_to_html(md)
+    assert "<h2>Title</h2>" in html
+    assert "<table>" in html and "<th>A</th>" in html and "<td>1</td>" in html
+    assert "<li>item one</li>" in html
+    words, chars = count_stats(md)
+    assert words > 0 and chars == len(md)
+    assert estimate_quality_score(md, "layout_ocr") == 50 + 20 + 10 + 10
+
+
+def test_resume_and_lineage(spark, cc_docs):
+    from smoldocling_ocr_spark.operators.lineage import extraction_metrics, partition_lineage
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    extracted = extract_documents(cc_docs.limit(10), num_partitions=4).cache()
+    metrics = extraction_metrics(extracted).collect()[0]
+    assert metrics["docs"] == 10
+    assert metrics["parse_failures"] == 0
+    lineage = partition_lineage(cc_docs.limit(10)).collect()
+    assert sum(r["doc_count"] for r in lineage) == 10
+    assert all(r["bytes_processed"] > 0 for r in lineage if r["doc_count"])
+
+
+def test_corrupt_payload_captured(spark):
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    bad = spark.createDataFrame(
+        [Row(url="https://x/bad", warc_ts=dt.datetime(2024, 1, 1), html=bytearray(b"DOCLAYv1\n{oops"), text="", lang="en")]
+    )
+    out = extract_documents(bad, salt=False).collect()
+    assert out[0]["parse_failed"] is True
