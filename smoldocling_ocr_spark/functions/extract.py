@@ -37,8 +37,14 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
         return pages, heights, doc.get("meta", {}), "layout_ocr"
     if _looks_like_html(payload):
         elements = html_extract_elements(payload.decode("utf-8", errors="replace"))
-        height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
-        return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "html_dom"
+        # acceptance gate (structure_engine.py:914-928 router analog): if the
+        # DOM strip yields almost nothing (script-only page, parse miss),
+        # fall back to the raw text column — the cheap probe before the
+        # expensive path, re-expressed for HTML payloads
+        total_chars = sum(len(e.get("content") or "") for e in elements if e.get("type") == "text")
+        if total_chars > 100:
+            height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
+            return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "html_dom"
     # plain-text fallback source (the `text` column) — digital-path analog
     text = text_fallback if text_fallback else payload.decode("utf-8", errors="replace")
     elements = []

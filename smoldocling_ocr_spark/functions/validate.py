@@ -26,6 +26,15 @@ HALLUCINATION_RES = [
     )
 ]
 
+# extended role set (openrouter_validator.py:110-114: core roles + noise roles)
+VALID_ROLES = frozenset(
+    {
+        "heading", "paragraph", "list_item", "table", "caption", "footnote",
+        "figure", "equation", "header", "footer", "page_number", "artifact",
+        "watermark",
+    }
+)
+
 _PAGE_MARKER_RE = re.compile(r"<!--\s*page:\s*(\d+)\s*-->")
 _ROLE_RE = re.compile(r"<!--\s*role:\w+")
 _HEADING_LINE_RE = re.compile(r"^#{1,6}\s+", re.MULTILINE)
@@ -109,6 +118,22 @@ def validate_markdown(text: str) -> dict[str, Any]:
             issues.append(_issue("info", "format", f"Very long line ({len(line)} chars)", i))
         if line.strip().startswith("|") and not line.strip().endswith("|"):
             issues.append(_issue("warning", "format", "Incomplete table row", i))
+
+    # --- markdown syntax (validator.py:19-84 semantics) ---
+    if text.count("```") % 2 != 0:
+        issues.append(_issue("warning", "format", "Unclosed code fence (odd ``` count)"))
+    if re.search(r"\[([^\]]*)\]\(\s*\)", text):
+        issues.append(_issue("warning", "format", "Empty link target"))
+    for i, line in enumerate(text.split("\n"), 1):
+        if line.count("[") != line.count("]") and not line.strip().startswith("<!--"):
+            issues.append(_issue("info", "format", "Unmatched square brackets", i))
+            break  # one report per document is enough signal
+
+    # --- role whitelist (rapidocr_validator.py:99 / openrouter_validator.py:110-114) ---
+    found_roles = set(re.findall(r"<!--\s*role:(\w+)", text))
+    invalid = found_roles - VALID_ROLES
+    if invalid:
+        issues.append(_issue("warning", "schema", f"Invalid roles: {sorted(invalid)}"))
 
     errors = sum(1 for i in issues if i["severity"] == "error")
     warnings = sum(1 for i in issues if i["severity"] == "warning")

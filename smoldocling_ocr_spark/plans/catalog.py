@@ -414,6 +414,24 @@ def q_heading_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "median_confidence",
+    sql="""
+    SELECT event_type, round(median(value), 4) AS median_value, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """confidence_tracker.py:130 exact median via percentile (not approx —
+    parity with statistics.median requires the exact interpolated value)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(F.median("value"), 4).alias("median_value"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "history_topk",
     sql="""
     SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
@@ -600,6 +618,96 @@ def q_document_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("document_id")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# scan/agg/join anchors (TPC-H-shaped; engine-capability baselines for bench)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q1-shaped pricing summary: full scan + partial/final hash agg
+    with the ship-date filter pushed to the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "shipping_priority",
+    sql="""
+    SELECT l_orderkey AS orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q3-shaped 3-way join + agg + TopK; customer broadcast, the
+    orders↔lineitem equi-join shuffles on the order key under AQE."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "revenue_forecast",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q6-shaped selective scan: every predicate reaches the parquet
+    reader (PushedFilters), single partial+final agg, no shuffle of data."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
 # ---------------------------------------------------------------------------

@@ -280,19 +280,36 @@ def generate_rows(n_docs: int, seed: int = SEED) -> list[dict[str, Any]]:
     return rows
 
 
+ROWS_PER_FILE = 500
+
+
 def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> None:
-    """Write the corpus with pyarrow (no Spark needed — usable from pytest)."""
+    """Write the corpus with pyarrow (no Spark needed — usable from pytest).
+
+    Multi-file dataset directory (<= ROWS_PER_FILE rows per file) so the
+    Spark scan parallelizes — a single parquet file is one input split and
+    serializes the read stage no matter how many cores the job has.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = generate_rows(n_docs, seed)
-    table = pa.table(
-        {
-            "url": [r["url"] for r in rows],
-            "warc_ts": pa.array([r["warc_ts"] for r in rows], type=pa.timestamp("us")),
-            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
-            "text": [r["text"] for r in rows],
-            "lang": [r["lang"] for r in rows],
-        }
-    )
-    pq.write_table(table, path)
+
+    def to_table(chunk: list[dict]) -> pa.Table:
+        return pa.table(
+            {
+                "url": [r["url"] for r in chunk],
+                "warc_ts": pa.array([r["warc_ts"] for r in chunk], type=pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in chunk], type=pa.binary()),
+                "text": [r["text"] for r in chunk],
+                "lang": [r["lang"] for r in chunk],
+            }
+        )
+
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(0, max(len(rows), 1), ROWS_PER_FILE):
+        chunk = rows[i : i + ROWS_PER_FILE]
+        if chunk:
+            pq.write_table(to_table(chunk), os.path.join(path, f"part-{i // ROWS_PER_FILE:05d}.parquet"))

@@ -1,0 +1,109 @@
+"""Snapshot-committing table store (Iceberg-contract emulation).
+
+No iceberg-spark-runtime jar ships in this sandbox, so the snapshot/lineage
+contract (SURVEY.md §7.2) is emulated over plain parquet: every commit writes
+data files under ``data/`` plus an immutable manifest JSON under
+``snapshots/`` recording snapshot id, parent id, the file list, and row
+counts. Readers resolve the latest snapshot and read exactly its files —
+which gives the properties the pipeline relies on:
+
+* atomic visibility — a crashed write never surfaces partial files
+  (manifest is written last, via atomic rename)
+* time travel — read any prior snapshot id
+* exact checkpoint-resume — the resume anti-join runs against a *snapshot*,
+  not a directory listing, so concurrent appends don't double-extract
+
+On a real cluster the identical call sites swap to
+``df.writeTo(table).append()`` / ``MERGE INTO`` with the Iceberg catalog;
+the schema contract stays the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.snap_dir = os.path.join(root, "snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- manifest handling ---------------------------------------------------
+
+    def _snapshots(self) -> list[dict]:
+        snaps = []
+        for fn in os.listdir(self.snap_dir):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    snaps.append(json.load(f))
+        return sorted(snaps, key=lambda s: s["sequence"])
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self._snapshots()
+        return snaps[-1] if snaps else None
+
+    # -- write path ----------------------------------------------------------
+
+    def append(self, df: DataFrame, operation: str = "append") -> dict:
+        """Commit df as a new snapshot (parent = current)."""
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
+        df.write.mode("error").parquet(commit_dir)
+
+        files = sorted(
+            os.path.join(commit_dir, fn)
+            for fn in os.listdir(commit_dir)
+            if fn.endswith(".parquet")
+        )
+        spark = df.sparkSession
+        row_count = spark.read.parquet(commit_dir).count()
+
+        parent = self.current_snapshot()
+        manifest = {
+            "snapshot_id": commit_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "sequence": (parent["sequence"] + 1) if parent else 1,
+            "operation": operation,
+            "timestamp_ms": int(time.time() * 1000),
+            "files": (parent["files"] if parent else []) + files,
+            "added_files": files,
+            "added_rows": row_count,
+            "total_rows": (parent["total_rows"] if parent else 0) + row_count,
+        }
+        tmp = os.path.join(self.snap_dir, f".{commit_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{manifest['sequence']:012d}-{commit_id}.json"))
+        return manifest
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame | None:
+        """Read the latest snapshot (or a specific one — time travel)."""
+        snaps = self._snapshots()
+        if not snaps:
+            return None
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            matching = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not matching:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            snap = matching[0]
+        if not snap["files"]:
+            return None
+        return spark.read.parquet(*snap["files"])
+
+    def history(self) -> list[dict]:
+        return [
+            {k: s[k] for k in ("snapshot_id", "parent_id", "sequence", "operation", "added_rows", "total_rows")}
+            for s in self._snapshots()
+        ]

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the normalization core.
+
+The reference has no property testing (SURVEY.md §5); these pin invariants
+the chained regex pipeline must hold at any input — idempotency of the
+normalizers, conservation of content under tagging, and codec round-trips.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from smoldocling_ocr_spark.functions import schema_enforce, textnorm
+from smoldocling_ocr_spark.functions.layoutcodec import decode_layout, encode_layout
+
+text_lines = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\r"),
+    max_size=200,
+)
+
+
+@given(text_lines)
+@settings(max_examples=200, deadline=None)
+def test_normalize_markdown_idempotent(s):
+    once = textnorm.normalize_markdown(s)
+    assert textnorm.normalize_markdown(once) == once
+
+
+@given(text_lines)
+@settings(max_examples=200, deadline=None)
+def test_normalize_no_unicode_dashes_remain(s):
+    out = textnorm.normalize_markdown(s)
+    assert not any(d in out for d in "−–—―")
+
+
+@given(text_lines)
+@settings(max_examples=200, deadline=None)
+def test_defragment_idempotent(s):
+    once = textnorm.defragment_text(s)
+    assert textnorm.defragment_text(once) == once
+
+
+@given(text_lines)
+@settings(max_examples=200, deadline=None)
+def test_hyphen_merge_never_grows(s):
+    assert len(textnorm.merge_hyphenated_words_loose(s)) <= len(s)
+    assert len(textnorm.merge_hyphenated_words_strict(s)) <= len(s)
+
+
+@given(st.lists(st.lists(st.text(alphabet=st.characters(codec="utf-8", exclude_characters="|\n\r"), max_size=12), min_size=1, max_size=5), min_size=2, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_table_standardize_idempotent(rows):
+    table = "\n".join("| " + " | ".join(r) + " |" for r in rows)
+    once = schema_enforce.standardize_tables(table)
+    assert schema_enforce.standardize_tables(once) == once
+
+
+@given(text_lines)
+@settings(max_examples=100, deadline=None)
+def test_cleanup_formatting_terminates_with_single_newline(s):
+    out = schema_enforce.cleanup_formatting(s)
+    assert out.endswith("\n") and not out.endswith("\n\n\n\n")
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "type": st.sampled_from(["text", "table", "figure"]),
+                "content": st.text(max_size=50),
+                "bbox": st.tuples(
+                    st.floats(0, 1000, allow_nan=False),
+                    st.floats(0, 1000, allow_nan=False),
+                    st.floats(0, 1000, allow_nan=False),
+                    st.floats(0, 1000, allow_nan=False),
+                ).map(list),
+                "confidence": st.floats(0, 1, allow_nan=False),
+                "font_size": st.none() | st.floats(6, 40, allow_nan=False),
+            }
+        ),
+        max_size=10,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_layout_codec_roundtrip(elements):
+    doc = {"meta": {"title": "t"}, "pages": [{"width": 1000, "height": 1000, "elements": elements}]}
+    decoded = decode_layout(encode_layout(doc))
+    assert len(decoded["pages"][0]["elements"]) == len(elements)
+    for orig, back in zip(elements, decoded["pages"][0]["elements"]):
+        assert list(back["bbox"]) == orig["bbox"]
+        assert back["content"] == orig["content"]
+
+
+def test_noise_tagging_conserves_elements():
+    """Tag-Don't-Remove as a property: tagging never changes element count
+    or content, only adds the noise_type key."""
+    import random
+
+    from smoldocling_ocr_spark.functions.noise import tag_document_noise
+
+    rng = random.Random(7)
+    pages = [
+        [
+            {
+                "type": "text",
+                "content": rng.choice(["Page 1", "CONFIDENTIAL", "real content here", "|||---===", "42"]),
+                "y": rng.uniform(0, 1000),
+                "confidence": rng.uniform(0.1, 1.0),
+            }
+            for _ in range(rng.randint(1, 12))
+        ]
+        for _ in range(rng.randint(1, 6))
+    ]
+    tagged, _ = tag_document_noise(pages)
+    assert [len(p) for p in tagged] == [len(p) for p in pages]
+    for before, after in zip(pages, tagged):
+        for b, a in zip(before, after):
+            assert a["content"] == b["content"]

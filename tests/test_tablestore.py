@@ -1,0 +1,55 @@
+"""Snapshot-table (Iceberg-contract emulation) tests: append, time travel,
+and exact checkpoint-resume against a snapshot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_path):
+    from smoldocling_ocr_spark.sources.tablestore import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    assert table.read(spark) is None
+
+    df1 = spark.range(5).withColumnRenamed("id", "url")
+    snap1 = table.append(df1)
+    assert snap1["added_rows"] == 5 and snap1["total_rows"] == 5
+
+    df2 = spark.range(5, 8).withColumnRenamed("id", "url")
+    snap2 = table.append(df2)
+    assert snap2["parent_id"] == snap1["snapshot_id"]
+    assert snap2["total_rows"] == 8
+
+    assert table.read(spark).count() == 8
+    # time travel to the first snapshot
+    assert table.read(spark, snapshot_id=snap1["snapshot_id"]).count() == 5
+    hist = table.history()
+    assert [h["sequence"] for h in hist] == [1, 2]
+
+
+def test_resume_against_snapshot(spark, tmp_path):
+    """Extraction resume: second run extracts only urls absent from the
+    committed snapshot, and its commit brings the table to full coverage."""
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+    from smoldocling_ocr_spark.sources.documents import read_cc_documents
+    from smoldocling_ocr_spark.sources.tablestore import SnapshotTable
+
+    docs = read_cc_documents(spark, "/root/testdata/sf0.001")
+    total = docs.count()
+    table = SnapshotTable(str(tmp_path / "extracted"))
+
+    first_half = docs.orderBy("url").limit(total // 2)
+    table.append(extract_documents(first_half, num_partitions=4))
+
+    committed = table.read(spark)
+    second = extract_documents(docs, num_partitions=4, already_extracted=committed)
+    n_second = second.count()
+    assert n_second == total - total // 2
+    table.append(second)
+
+    final = table.read(spark)
+    assert final.count() == total
+    assert final.select("url").distinct().count() == total
+    # rerunning resume against the full snapshot extracts nothing
+    assert extract_documents(docs, already_extracted=table.read(spark)).count() == 0
