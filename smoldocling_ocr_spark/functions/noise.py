@@ -62,6 +62,8 @@ ARTIFACT_RES = [
 
 _CONSONANT_RUN = re.compile(r"[bcdfghjklmnpqrstvwxz]{5,}", re.IGNORECASE)
 _CHAR_REPEAT = re.compile(r"(.)\1{4,}")
+# C-speed count of chars that are neither alphanumeric nor whitespace
+_SPECIAL_CHAR = re.compile(r"[^\w\s]|_")
 
 HEADER_FOOTER_THRESHOLD = 0.5
 MIN_PAGES_FOR_DETECTION = 3
@@ -81,7 +83,7 @@ def is_garbled(text: str) -> bool:
     """High special-char ratio, 5+ consecutive consonants, or char repeated 5+."""
     if len(text) < 3:
         return False
-    specials = sum(1 for c in text if not c.isalnum() and not c.isspace())
+    specials = len(_SPECIAL_CHAR.findall(text))
     if specials / len(text) > 0.5:
         return True
     if _CONSONANT_RUN.search(text):

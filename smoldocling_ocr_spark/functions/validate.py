@@ -12,19 +12,19 @@ from __future__ import annotations
 import re
 from typing import Any
 
-HALLUCINATION_RES = [
-    re.compile(p)
-    for p in (
-        r"(?i)based on (the|this) (image|document|page)",
-        r"(?i)as (shown|seen|visible) in",
-        r"(?i)it (appears|seems) that",
-        r"(?i)I can (see|observe) that",
-        r"(?i)the (image|document) shows",
-        r"(?i)looking at (the|this)",
-        r"(?i)from what I can (see|tell)",
-        r"(?i)this (appears|seems) to be",
-    )
-]
+HALLUCINATION_PATTERNS = (
+    r"based on (the|this) (image|document|page)",
+    r"as (shown|seen|visible) in",
+    r"it (appears|seems) that",
+    r"I can (see|observe) that",
+    r"the (image|document) shows",
+    r"looking at (the|this)",
+    r"from what I can (see|tell)",
+    r"this (appears|seems) to be",
+)
+HALLUCINATION_RES = [re.compile("(?i)" + p) for p in HALLUCINATION_PATTERNS]
+# single alternation — one C-speed scan per line instead of eight
+_HALLUCINATION_ANY = re.compile("(?i)" + "|".join(f"(?:{p})" for p in HALLUCINATION_PATTERNS))
 
 # extended role set (openrouter_validator.py:110-114: core roles + noise roles)
 VALID_ROLES = frozenset(
@@ -105,29 +105,33 @@ def validate_markdown(text: str) -> dict[str, Any]:
     if levels and len(levels[0]) != 1:
         issues.append(_issue("info", "content", f"Document does not start with H1 (starts with H{len(levels[0])})"))
 
-    # --- hallucinations ---
+    # --- hallucinations + format (one pass over the lines) ---
+    bracket_reported = False
+    bracket_issue_pos = None
     for i, line in enumerate(text.split("\n"), 1):
-        for pattern in HALLUCINATION_RES:
-            if pattern.search(line):
-                issues.append(_issue("error", "hallucination", "Potential hallucination detected", i))
-                break
-
-    # --- format ---
-    for i, line in enumerate(text.split("\n"), 1):
+        if _HALLUCINATION_ANY.search(line):
+            issues.append(_issue("error", "hallucination", "Potential hallucination detected", i))
         if len(line) > 500 and not line.startswith("|"):
             issues.append(_issue("info", "format", f"Very long line ({len(line)} chars)", i))
-        if line.strip().startswith("|") and not line.strip().endswith("|"):
+        stripped_line = line.strip()
+        if stripped_line.startswith("|") and not stripped_line.endswith("|"):
             issues.append(_issue("warning", "format", "Incomplete table row", i))
+        if (
+            not bracket_reported
+            and not stripped_line.startswith("<!--")
+            and line.count("[") != line.count("]")
+        ):
+            bracket_reported = True
+            bracket_issue_pos = (len(issues), i)
 
     # --- markdown syntax (validator.py:19-84 semantics) ---
     if text.count("```") % 2 != 0:
         issues.append(_issue("warning", "format", "Unclosed code fence (odd ``` count)"))
     if re.search(r"\[([^\]]*)\]\(\s*\)", text):
         issues.append(_issue("warning", "format", "Empty link target"))
-    for i, line in enumerate(text.split("\n"), 1):
-        if line.count("[") != line.count("]") and not line.strip().startswith("<!--"):
-            issues.append(_issue("info", "format", "Unmatched square brackets", i))
-            break  # one report per document is enough signal
+    if bracket_reported:
+        # one report per document is enough signal
+        issues.append(_issue("info", "format", "Unmatched square brackets", bracket_issue_pos[1]))
 
     # --- role whitelist (rapidocr_validator.py:99 / openrouter_validator.py:110-114) ---
     found_roles = set(re.findall(r"<!--\s*role:(\w+)", text))
