@@ -102,21 +102,30 @@ def ensure_page_markers(text: str) -> str:
 
 
 def ensure_annotations(text: str) -> str:
-    """Prepend role comments to unannotated heading / table lines."""
+    """Prepend role comments to unannotated heading / table lines.
+
+    Deliberate fix over the reference (schema_enforcer.py:115-134): a
+    contiguous run of table rows is ONE table and gets one annotation —
+    the reference injects a comment before every row, which splits the
+    block and silently disables its own table standardization downstream.
+    """
     result: list[str] = []
+    prev_was_table_row = False
     for line in text.split("\n"):
         stripped = line.strip()
         if not stripped or stripped.startswith("---") or stripped.startswith("<!--"):
             result.append(line)
+            prev_was_table_row = False
             continue
         has_ann = bool(result) and result[-1].strip().startswith("<!-- role:")
         if not has_ann:
             if stripped.startswith("#"):
                 level = len(stripped) - len(stripped.lstrip("#"))
                 result.append(f"<!-- role:heading level:{level} -->")
-            elif stripped.startswith("|"):
+            elif stripped.startswith("|") and not prev_was_table_row:
                 result.append("<!-- role:table -->")
         result.append(line)
+        prev_was_table_row = stripped.startswith("|")
     return "\n".join(result)
 
 

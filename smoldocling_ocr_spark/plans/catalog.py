@@ -739,6 +739,33 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_documents(docs).orderBy("url")
 
 
+@query("role_distribution")  # rows-only: multi-signal classifier is a 30-branch tree
+def q_role_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidocr_validator.py:110-113 role distribution over the staged
+    element pipeline (parse → grouped-map layout analysis → groupBy role)."""
+    from ..operators.stages import analyze_layout, parse_elements
+    from ..sources.documents import read_cc_documents
+
+    docs = read_cc_documents(spark, sf_dir).filter(F.col("url").contains("/layout/"))
+    analyzed = analyze_layout(parse_elements(docs))
+    return analyzed.groupBy("semantic_role").agg(F.count("*").alias("n")).orderBy("semantic_role")
+
+
+@query("extract_method_routing")  # rows-only: router runs inside the parse UDF
+def q_method_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """structure_engine.py:902-934 engine routing outcome counts per method."""
+    from ..operators.pipeline import extract_documents
+    from ..sources.documents import read_cc_documents
+
+    docs = read_cc_documents(spark, sf_dir)
+    return (
+        extract_documents(docs)
+        .groupBy("method")
+        .agg(F.count("*").alias("docs"), F.round(F.avg("quality_score"), 4).alias("avg_quality"))
+        .orderBy("method")
+    )
+
+
 @query("extract_language_detection")  # rows-only: char-level scripts loop
 def q_extract_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """langid over the CC corpus (language_detector.py semantics in-UDF)."""

@@ -32,9 +32,10 @@ def corpus_size_for(sf_dir: str) -> int:
     return max(20, int(sf * _DOCS_PER_SF))
 
 
-def corpus_parquet_path(sf_dir: str, seed: int = SEED) -> str:
+def corpus_parquet_path(sf_dir: str, seed: int = SEED, n_docs: int | None = None) -> str:
     """Synthesize (once) and return the CC-style corpus parquet for sf_dir."""
-    n_docs = corpus_size_for(sf_dir)
+    if n_docs is None:
+        n_docs = corpus_size_for(sf_dir)
     cache_dir = os.environ.get("SMOLDOCLING_CORPUS_DIR", "/tmp/smoldocling_corpus")
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"documents_cc_n{n_docs}_s{seed}.parquet")
