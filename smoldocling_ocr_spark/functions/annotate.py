@@ -86,6 +86,27 @@ _SECTION_NUM = re.compile(r"^\d+\.")
 _ANY_DIGITS = re.compile(r"\d+")
 _LEADING_DIGITS = re.compile(r"^(\d+)")
 
+# Combined single-alternation forms of the anchored pattern banks — for
+# ^-anchored patterns a left-to-right alternation equals sequential
+# first-match testing, at one C-level match call. Named groups recover WHICH
+# alternative matched where the ladder needs it (chapter level, list kind).
+_HEADING_ANY = re.compile(
+    "|".join(
+        f"(?P<chapter>{p.pattern})" if "Chapter" in p.pattern else f"(?:{p.pattern})"
+        for p in HEADING_RES
+    )
+)
+_LIST_ANY = re.compile(
+    "|".join(f"(?P<{kind[0]}{i}>{p.pattern})" for i, (p, kind) in enumerate(LIST_RES))
+)
+_LIST_KIND = {f"{kind[0]}{i}": kind for i, (_, kind) in enumerate(LIST_RES)}
+_CAPTION_ANY = re.compile("|".join(f"(?:{p.pattern})" for p in CAPTION_RES))
+_FOOTNOTE_ANY = re.compile("|".join(f"(?:{p.pattern})" for p in FOOTNOTE_RES))
+# equation bank: first three are ^-anchored; the last is an unanchored
+# suffix pattern and must keep match() semantics individually
+_EQUATION_ANCHORED = re.compile("|".join(f"(?:{p.pattern})" for p in EQUATION_RES[:3]))
+_EQUATION_SUFFIX = EQUATION_RES[3]
+
 
 class PageContext:
     """Per-page means used by the role ladder (semantic_annotator.py:12-40)."""
@@ -121,41 +142,38 @@ def classify_text_role(elem: dict[str, Any], ctx: PageContext) -> tuple[str, dic
             level = 4
         return "heading", {"level": level}
 
-    for pattern in HEADING_RES:
-        if pattern.match(content):
-            if "chapter" in pattern.pattern.lower():
-                level = 1
-            elif _SUBSECTION_NUM.match(content):
-                level = 3
-            elif _SECTION_NUM.match(content):
-                level = 2
-            else:
-                level = 2
-            return "heading", {"level": level}
+    m = _HEADING_ANY.match(content)
+    if m:
+        if m.lastgroup == "chapter":
+            level = 1
+        elif _SUBSECTION_NUM.match(content):
+            level = 3
+        elif _SECTION_NUM.match(content):
+            level = 2
+        else:
+            level = 2
+        return "heading", {"level": level}
 
     if len(content) < 60 and content and content[0].isupper():
         if content[-1] not in ".!?,;:":
             if bbox and ctx.page_height and bbox[1] / ctx.page_height < 0.15:
                 return "heading", {"level": 2}
 
-    for pattern, list_kind in LIST_RES:
-        if pattern.match(content):
-            return "list_item", {"type": list_kind}
+    m = _LIST_ANY.match(content)
+    if m:
+        return "list_item", {"type": _LIST_KIND[m.lastgroup]}
 
-    for pattern in CAPTION_RES:
-        if pattern.match(content):
-            lowered = content.lower()
-            kind = "table" if "table" in lowered or "tbl" in lowered else "figure"
-            return "caption", {"for": kind}
+    if _CAPTION_ANY.match(content):
+        lowered = content.lower()
+        kind = "table" if "table" in lowered or "tbl" in lowered else "figure"
+        return "caption", {"for": kind}
 
-    for pattern in FOOTNOTE_RES:
-        if pattern.match(content):
-            id_match = _ANY_DIGITS.search(content[:10])
-            return "footnote", {"id": id_match.group() if id_match else "1"}
+    if _FOOTNOTE_ANY.match(content):
+        id_match = _ANY_DIGITS.search(content[:10])
+        return "footnote", {"id": id_match.group() if id_match else "1"}
 
-    for pattern in EQUATION_RES:
-        if pattern.match(content):
-            return "equation", {"display": "block" if len(content) > 20 else "inline"}
+    if _EQUATION_ANCHORED.match(content) or _EQUATION_SUFFIX.match(content):
+        return "equation", {"display": "block" if len(content) > 20 else "inline"}
 
     if bbox and ctx.page_height:
         if bbox[1] / ctx.page_height > 0.85 and len(content) < 200 and _LEADING_DIGITS.match(content):
