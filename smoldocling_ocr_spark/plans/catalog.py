@@ -41,6 +41,15 @@ def oracle_queries() -> dict[str, str]:
     return dict(_ORACLE)
 
 
+def _with_global_agg(df: DataFrame, agg_expr, name: str) -> DataFrame:
+    """Attach a global scalar aggregate as a column via a broadcast 1-row
+    cross join. Equivalent to ``expr OVER ()`` but scale-safe: a window with
+    no PARTITION BY moves every row to a single partition, while this form
+    is a partial+final agg plus a BroadcastNestedLoopJoin of one row."""
+    one_row = df.agg(agg_expr.alias(name))
+    return df.crossJoin(F.broadcast(one_row))
+
+
 # ---------------------------------------------------------------------------
 # §2.2 predicates / noise tagging (rlike banks over documents.text)
 # ---------------------------------------------------------------------------
@@ -158,8 +167,9 @@ def q_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """confidence_tracker.py:103-144 statistics as groupBy aggregates
     (events.value normalized to [0,1] plays the confidence column)."""
     events = read_table(spark, sf_dir, "events")
-    conf = (F.col("value") / F.max("value").over(W.partitionBy())).alias("conf")
-    scored = events.select("event_type", conf)
+    scored = _with_global_agg(events, F.max("value"), "_gmax").select(
+        "event_type", (F.col("value") / F.col("_gmax")).alias("conf")
+    )
     return (
         scored.groupBy("event_type")
         .agg(
@@ -188,8 +198,9 @@ def q_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """confidence_tracker.py:277-306 overall score 0.6*avg+0.2*min+0.2*(1-unc%)."""
     events = read_table(spark, sf_dir, "events")
-    conf = (F.col("value") / F.max("value").over(W.partitionBy())).alias("conf")
-    scored = events.select("user_id", conf)
+    scored = _with_global_agg(events, F.max("value"), "_gmax").select(
+        "user_id", (F.col("value") / F.col("_gmax")).alias("conf")
+    )
     unc_frac = F.sum(F.when(F.col("conf") < 0.7, 1).otherwise(0)) / F.count("*")
     return (
         scored.groupBy("user_id")
@@ -213,8 +224,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """confidence_tracker.py:241-275 page-quality tier ladder."""
     events = read_table(spark, sf_dir, "events")
-    conf = (F.col("value") / F.max("value").over(W.partitionBy())).alias("conf")
-    per_page = events.select("user_id", conf).groupBy("user_id").agg(F.avg("conf").alias("avg_conf"))
+    scored = _with_global_agg(events, F.max("value"), "_gmax").select(
+        "user_id", (F.col("value") / F.col("_gmax")).alias("conf")
+    )
+    per_page = scored.groupBy("user_id").agg(F.avg("conf").alias("avg_conf"))
     tier = (
         F.when(F.col("avg_conf") >= 0.9, "excellent")
         .when(F.col("avg_conf") >= 0.8, "good")
@@ -404,12 +417,11 @@ def q_prev_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_heading_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema_enforcer.py:136-147 min-level promotion: global min via window,
-    subtract (min-1) from every level."""
+    """schema_enforcer.py:136-147 min-level promotion: global min via a
+    broadcast 1-row agg (scale-safe OVER ()), subtract (min-1) everywhere."""
     orders = read_table(spark, sf_dir, "orders")
-    min_key = F.min("o_custkey").over(W.partitionBy())
-    return orders.select(
-        "o_orderkey", (F.col("o_custkey") - min_key + 1).alias("normalized_level")
+    return _with_global_agg(orders, F.min("o_custkey"), "_min_key").select(
+        "o_orderkey", (F.col("o_custkey") - F.col("_min_key") + 1).alias("normalized_level")
     ).orderBy("o_orderkey")
 
 

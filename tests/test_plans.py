@@ -110,3 +110,22 @@ def test_tpch_anchor_results(spark):
     assert top[0]["revenue"] >= top[-1]["revenue"]
     rev = q["revenue_forecast"](spark, SF_DIR).collect()[0]
     assert rev["revenue"] is not None and rev["revenue"] > 0
+
+
+def test_no_unpartitioned_windows_anywhere(spark):
+    """A window with no PARTITION BY moves every row to one partition — fatal
+    at 100 TB. Global scalars must use the broadcast 1-row agg pattern
+    (catalog._with_global_agg). Scan every catalog query's physical plan."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    offenders = []
+    for name, fn in spark_queries().items():
+        try:
+            plan = _plan(fn(spark, SF_DIR))
+        except Exception:
+            continue  # queries needing other fixtures are covered elsewhere
+        # an unpartitioned Window requires Exchange SinglePartition under it;
+        # partitioned windows hash-partition, global aggs have no Window node
+        if "Window" in plan and "SinglePartition, ENSURE_REQUIREMENTS" in plan:
+            offenders.append(name)
+    assert not offenders, f"unpartitioned Window in: {offenders}"
