@@ -99,12 +99,15 @@ def register(query) -> None:
     )
     def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents")
-        sh = _shingles(docs).cache()
+        # join on a 64-bit shingle hash, not the 3-word string — the shuffle
+        # carries 8 bytes per row instead of the full shingle text (collision
+        # odds over the corpus ≈ n²/2⁶⁵; the oracle joins exact strings)
+        sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("sh")).cache()
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         a = sh.alias("a")
         b = sh.alias("b")
         common = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_common"))
         )
@@ -143,26 +146,29 @@ def register(query) -> None:
         """,
     )
     def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # All k min-hashes as k aggregate expressions over the UNEXPLODED
+        # (doc_id, shingle) rows: map-side partial agg reduces each partition
+        # to one row per doc before the shuffle, instead of shuffling
+        # k × |shingles| exploded rows (8× less shuffle volume at 100 TB).
         docs = read_table(spark, sf_dir, "documents")
         sh = _shingles(docs)
-        seeds = F.explode(F.array(*[F.lit(s) for s in range(MINHASH_SEEDS)])).alias("seed")
-        seeded = sh.select("doc_id", "shingle", seeds)
-        sig = seeded.groupBy("doc_id", "seed").agg(
-            F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias("minh")
-        )
-        bands = (
-            sig.groupBy("doc_id", (F.col("seed") / BAND_SIZE).cast("int").alias("band"))
-            .agg(
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
+        sig = sh.groupBy("doc_id").agg(*mins)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
                 F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.sort_array(F.collect_list(F.struct("seed", "minh"))), lambda s: s["minh"]
-                        ),
-                    )
-                ).alias("bucket")
+                    F.concat_ws(",", *[F.col(f"minh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)])
+                ).alias("bucket"),
             )
-        )
+            for b in range(MINHASH_SEEDS // BAND_SIZE)
+        ]
+        bands = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
         a = bands.alias("a")
         b = bands.alias("b")
         return (
@@ -199,28 +205,24 @@ def register(query) -> None:
         """,
     )
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 16 bit-majorities as 16 aggregate expressions over the unexploded
+        # (doc_id, tok) rows — one groupBy pass, map-side combine, no 16×
+        # token explode (same shuffle-narrowing as dedup_minhash above).
         docs = read_table(spark, sf_dir, "documents")
         toks = docs.select(
             "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
         ).filter(F.col("tok") != "").distinct()
-        bits_idx = F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b")
-        expanded = toks.select("doc_id", "tok", bits_idx)
-        token_bit = F.when(
-            F.substring(F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("tok"))), 1, 1) >= "8", 1
-        ).otherwise(0)
-        bits = expanded.groupBy("doc_id", "b").agg(
-            F.when(F.sum(token_bit) * 2 >= F.count("*"), 1).otherwise(0).alias("bit")
-        )
-        return (
-            bits.groupBy("doc_id")
-            .agg(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("b", "bit"))),
-                        lambda s: s["bit"].cast("string"),
-                    ),
-                ).alias("simhash")
+        bit_aggs = []
+        for b in range(16):
+            token_bit = F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{b}:"), F.col("tok"))), 1, 1) >= "8", 1
+            ).otherwise(0)
+            bit_aggs.append(
+                F.when(F.sum(token_bit) * 2 >= F.count("*"), 1).otherwise(0).cast("string").alias(f"bit{b}")
             )
+        return (
+            toks.groupBy("doc_id")
+            .agg(*bit_aggs)
+            .select("doc_id", F.concat(*[F.col(f"bit{b}") for b in range(16)]).alias("simhash"))
             .orderBy("doc_id")
         )
