@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_cosine_neardup",
     "token_counting",
     "text_quality_scoring",

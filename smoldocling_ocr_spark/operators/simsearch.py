@@ -23,6 +23,8 @@ TOPK = 3
 N_QUERIES = 5
 NEARDUP_THRESHOLD = 0.40
 SIGN_BITS = 8
+DIM = 64  # driver embeddings are fixed 64-dim float arrays
+IVF_NPROBE = 3
 
 
 N_BLOCKS = 8
@@ -227,4 +229,79 @@ def register(query) -> None:
                 F.round(F.avg(F.element_at("embedding", 2).cast("double")), 5).alias("c1"),
             )
             .orderBy("label")
+        )
+
+    @query(
+        "ann_ivf_topk",
+        sql=f"""
+        WITH comp AS (
+          SELECT label, i, round(avg(embedding[i+1]::DOUBLE), 6) AS c
+          FROM embeddings, LATERAL unnest(range({DIM})) AS t(i)
+          GROUP BY label, i
+        ),
+        cent AS (SELECT label, list(c ORDER BY i) AS cvec FROM comp GROUP BY label),
+        probe AS (
+          SELECT query_id, label FROM (
+            SELECT q.vec_id AS query_id, c.label,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 5) DESC, c.label
+                   ) AS pr
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+          ) WHERE pr <= {IVF_NPROBE}
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) DESC,
+                            e.vec_id
+                 ) AS rank
+          FROM probe p JOIN embeddings e ON e.label = p.label
+               JOIN embeddings q ON q.vec_id = p.query_id
+          WHERE e.vec_id <> p.query_id
+        ) WHERE rank <= {TOPK} ORDER BY query_id, rank
+        """,
+    )
+    def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF search — the ANN scale path: a coarse quantizer (per-label
+        centroids, computed as {DIM} per-dim avg aggregates in ONE groupBy
+        pass, map-side combine, no explode) prunes the corpus to nprobe
+        inverted lists per query; only those lists are scanned. Plan shape:
+        centroids (10 rows) broadcast to queries → top-nprobe probe → tiny
+        probe relation broadcast into an equi-join on label (partition-pruned
+        list scan at scale) → per-query top-k window. Search cost drops from
+        O(N) per query to O(N * nprobe / n_lists)."""
+        emb = read_table(spark, sf_dir, "embeddings")
+        cent = emb.groupBy("label").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 6)
+                    for i in range(DIM)
+                ]
+            ).alias("cvec")
+        )
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        psim = F.round(_cosine(F.col("qe"), F.col("cvec")), 5)
+        wprobe = W.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("label"))
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .select("query_id", "qe", "label", psim.alias("psim"))
+            .withColumn("pr", F.row_number().over(wprobe))
+            .filter(F.col("pr") <= IVF_NPROBE)
+            .select("query_id", "qe", "label")
+        )
+        cand = emb.join(F.broadcast(probes), on="label").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 5)
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank")
         )
