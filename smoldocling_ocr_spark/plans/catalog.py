@@ -127,9 +127,10 @@ def q_hallucination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "repeater_detection",
-    sql="""
+    sql=r"""
     SELECT normalized, occurrences FROM (
-      SELECT regexp_replace(lower(trim(text)), '[0-9]+', '[NUM]', 'g') AS normalized,
+      SELECT regexp_extract(regexp_replace(lower(trim(text)), '[0-9]+', '[NUM]', 'g'),
+                            '^(\S+ \S+)', 1) AS normalized,
              count(*) AS occurrences
       FROM documents GROUP BY 1
     ) WHERE occurrences >= 2 ORDER BY occurrences DESC, normalized
@@ -137,9 +138,13 @@ def q_hallucination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repeater(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header/footer repeater detection (noise_filter.py:143-190): digit-mask
-    normalize → count across pages → threshold. Partial+final hash agg."""
+    normalize the header zone (leading tokens — the top-of-page analog on the
+    flat documents table) → count across docs → threshold ≥2. Partial+final
+    hash agg."""
     docs = read_table(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "[NUM]")
+    normalized = F.regexp_extract(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "[NUM]"), r"^(\S+ \S+)", 1
+    )
     return (
         docs.groupBy(normalized.alias("normalized"))
         .agg(F.count("*").alias("occurrences"))
@@ -519,21 +524,25 @@ def q_caption_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "repeater_semi_join",
-    sql="""
+    sql=r"""
     SELECT count(*) AS tagged FROM documents d
     WHERE EXISTS (
       SELECT 1 FROM (
-        SELECT regexp_replace(lower(trim(text)), '[0-9]+', '[NUM]', 'g') AS norm, count(*) AS c
+        SELECT regexp_extract(regexp_replace(lower(trim(text)), '[0-9]+', '[NUM]', 'g'),
+                              '^(\S+ \S+)', 1) AS norm, count(*) AS c
         FROM documents GROUP BY 1 HAVING count(*) >= 2
-      ) r WHERE regexp_replace(lower(trim(d.text)), '[0-9]+', '[NUM]', 'g') = r.norm
+      ) r WHERE regexp_extract(regexp_replace(lower(trim(d.text)), '[0-9]+', '[NUM]', 'g'),
+                               '^(\S+ \S+)', 1) = r.norm
     )
     """,
 )
 def q_repeater_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cleaner.py:126-152 repeater tagging as a broadcast semi join back onto
-    the element relation."""
+    the element relation (same header-zone key as repeater_detection)."""
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "[NUM]")
+    norm = F.regexp_extract(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "[NUM]"), r"^(\S+ \S+)", 1
+    )
     normalized = docs.select(norm.alias("norm"))
     repeaters = normalized.groupBy("norm").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     return (
