@@ -48,6 +48,17 @@ def test_broadcast_join_in_shipping_priority(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_regional_volume_broadcast_chain(spark):
+    """Q5-shaped 6-way join: every dim joins as broadcast, the region filter
+    is pushed to the parquet scan, and no sort-merge join appears at sf where
+    dims fit the broadcast threshold."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["regional_supplier_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
 def test_semi_join_broadcast(spark):
     from smoldocling_ocr_spark.plans.catalog import spark_queries
 
