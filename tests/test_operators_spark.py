@@ -164,3 +164,35 @@ def test_corrupt_payload_captured(spark):
     )
     out = extract_documents(bad, salt=False).collect()
     assert out[0]["parse_failed"] is True
+
+
+def test_streaming_windowed_watermark_agg(spark, tmp_path):
+    """Event-time tumbling window + watermark over a streamed events table;
+    the batch run of the same relation is the oracle (complete mode drains
+    all windows under availableNow)."""
+    from smoldocling_ocr_spark.streaming.windowed import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == want and len(got) > 1
