@@ -196,3 +196,43 @@ def test_streaming_windowed_watermark_agg(spark, tmp_path):
         for r in windowed_event_counts(events).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_streaming_stateful_first_seen_dedup(spark, cc_docs, tmp_path):
+    """applyInPandasWithState first-seen filter: duplicates split across two
+    microbatches (maxFilesPerTrigger=1) must dedup ACROSS batches via the
+    state store, not just within one batch."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from smoldocling_ocr_spark.streaming.stateful import first_seen_filter
+
+    base = cc_docs.limit(4).cache()
+    src = str(tmp_path / "dup_src")
+    base.coalesce(1).write.parquet(src)  # batch 1: originals (one file)
+    # batch 2: re-crawls of the same urls, later warc_ts
+    base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        first_seen_filter(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT url, warc_ts FROM first_seen").collect()
+    assert len(out) == 4
+    firsts = {r["url"]: r["warc_ts"] for r in base.select("url", "warc_ts").collect()}
+    got = {r["url"]: r["warc_ts"] for r in out}
+    assert set(got) == set(firsts)
+    # every emitted row is the earliest crawl of its url
+    assert all(got[u] == min(firsts[u], firsts[u] + dt.timedelta(days=1)) for u in got)
