@@ -67,6 +67,13 @@ _SCRIPT_RES = {
 
 
 def detect_script(text: str) -> tuple[str, float]:
+    # ASCII fast path: every ASCII letter falls in the latin range
+    # (0x0000–0x024F), so the histogram is {latin: n} and conf is exactly
+    # n/n = 1.0 — equivalent to the full scan, one findall instead of ~11
+    if text.isascii():
+        if _LETTER_RE.search(text) is None:
+            return "unknown", 0.0
+        return "latin", 1.0
     letters = "".join(_LETTER_RE.findall(text))
     if not letters:
         return "unknown", 0.0

@@ -94,8 +94,8 @@ def validate_markdown(text: str) -> dict[str, Any]:
     if len(non_empty) < 3:
         issues.append(_issue("error", "content", "Document appears to have very little content"))
 
-    uncertain = len(re.findall(r"\[uncertain:", text))
-    low_conf = len(re.findall(r"\[low-confidence:", text))
+    uncertain = text.count("[uncertain:")
+    low_conf = text.count("[low-confidence:")
     if uncertain > len(non_empty) * 0.3:
         issues.append(_issue("warning", "content", f"High uncertainty: {uncertain} uncertain regions"))
     if low_conf > len(non_empty) * 0.1:
@@ -106,10 +106,13 @@ def validate_markdown(text: str) -> dict[str, Any]:
         issues.append(_issue("info", "content", f"Document does not start with H1 (starts with H{len(levels[0])})"))
 
     # --- hallucinations + format (one pass over the lines) ---
+    # whole-text pre-check: almost no document trips the phrase bank, so one
+    # C-speed scan replaces a per-line search in the common case
+    any_hallucination = _HALLUCINATION_ANY.search(text) is not None
     bracket_reported = False
     bracket_issue_pos = None
     for i, line in enumerate(text.split("\n"), 1):
-        if _HALLUCINATION_ANY.search(line):
+        if any_hallucination and _HALLUCINATION_ANY.search(line):
             issues.append(_issue("error", "hallucination", "Potential hallucination detected", i))
         if len(line) > 500 and not line.startswith("|"):
             issues.append(_issue("info", "format", f"Very long line ({len(line)} chars)", i))
