@@ -1,0 +1,64 @@
+"""End-to-end test of the spark-submit job entry (jobs/extract_job.py).
+
+Runs the CLI twice in subprocesses (each owns its SparkSession — main()
+calls spark.stop()): a fresh extraction, then a --resume re-run over the
+same input, which must anti-join every url away and append nothing. This
+is the checkpoint-resume contract from the north rule at job level.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(args: list[str]) -> None:
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "extract_job.py"), *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+
+@pytest.mark.slow
+def test_extract_job_cli_then_resume(spark, cc_docs, tmp_path):
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "extracted")
+    lineage = str(tmp_path / "lineage")
+    cc_docs.limit(10).write.parquet(inp)
+
+    _run_job(["--input", inp, "--output", out, "--lineage", lineage, "--cores", "8"])
+    first = spark.read.parquet(out)
+    assert first.count() == 10
+    assert first.select("url").distinct().count() == 10
+    assert spark.read.parquet(lineage).count() >= 1
+
+    # resume over identical input: anti-join leaves nothing to extract
+    _run_job(["--input", inp, "--output", out, "--resume", "--cores", "8"])
+    again = spark.read.parquet(out)
+    assert again.count() == 10, "resume run must not re-extract or duplicate"
+
+
+def test_make_pyfiles_zip(tmp_path):
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    try:
+        from make_pyfiles import build
+    finally:
+        sys.path.pop(0)
+    out = build(str(tmp_path / "deps.zip"))
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+    assert "smoldocling_ocr_spark/__init__.py" in names
+    assert any(n.endswith("operators/pipeline.py") for n in names)
+    assert not any("__pycache__" in n for n in names)

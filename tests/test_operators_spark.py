@@ -10,11 +10,7 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 
-@pytest.fixture(scope="module")
-def cc_docs(spark):
-    from smoldocling_ocr_spark.sources.documents import read_cc_documents
-
-    return read_cc_documents(spark, "/root/testdata/sf0.001").cache()
+# cc_docs fixture lives in conftest.py (shared with test_job_cli.py)
 
 
 def test_parse_elements_relation(spark, cc_docs):
