@@ -98,25 +98,45 @@ def register(query) -> None:
         """,
     )
     def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact Jaccard pairs via PPJoin-style prefix filtering: for
+        J(A,B) ≥ t the overlap is ≥ ceil(t·|A|), so A's (|A|−ceil(t|A|)+1)-
+        prefix under a global rarest-first shingle order must intersect B's —
+        candidates form only on prefix shingles (the rare ones, with few join
+        partners) instead of the full quadratic shingle self-join, then every
+        candidate pair is verified exactly with array_intersect. Shingles are
+        64-bit hashes (8-byte shuffle keys; the oracle joins exact strings).
+        """
+        from pyspark.sql import Window as W
+
         docs = read_table(spark, sf_dir, "documents")
-        # join on a 64-bit shingle hash, not the 3-word string — the shuffle
-        # carries 8 bytes per row instead of the full shingle text (collision
-        # odds over the corpus ≈ n²/2⁶⁵; the oracle joins exact strings)
         sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("sh")).cache()
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-        a = sh.alias("a")
-        b = sh.alias("b")
-        common = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("n_common"))
+        rn = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh"))
+        prefix_len = F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+        prefix = (
+            sh.join(freq, "sh")
+            .join(sizes, "doc_id")
+            .withColumn("rn", rn)
+            .filter(F.col("rn") <= prefix_len)
+            .select("doc_id", "sh")
         )
-        sa = sizes.alias("sa")
-        sb = sizes.alias("sb")
-        jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        cand = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        docsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+        sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+        sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+        inter = F.size(F.array_intersect("shs_a", "shs_b"))
+        union = F.size("shs_a") + F.size("shs_b") - inter
+        jac = inter / union
         return (
-            common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
             .filter(jac >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
             .orderBy("doc_a", "doc_b")
