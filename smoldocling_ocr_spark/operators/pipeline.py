@@ -81,7 +81,11 @@ def with_salted_partitioning(docs: DataFrame, num_partitions: int | None = None)
     function of url, so groups stay intact; SURVEY.md §7.3 item 4)."""
     if num_partitions is None:
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
-    key = F.pmod(F.xxhash64(F.col("url"), F.lit(0x5D0C)), F.lit(num_partitions))
+    # full-entropy salted hash as the partition key — repartition applies its
+    # own hash % P on top, so pre-reducing with pmod(…, P) here would throw P
+    # distinct values into P bins (balls-in-bins collisions: empty partitions
+    # + doubled ones). Leave the 64-bit value intact.
+    key = F.xxhash64(F.col("url"), F.lit(0x5D0C))
     return docs.repartition(num_partitions, key)
 
 

@@ -123,6 +123,39 @@ def test_tpch_anchor_results(spark):
     assert rev["revenue"] is not None and rev["revenue"] > 0
 
 
+def test_salted_partitioning_breaks_domain_skew(spark):
+    """30% of synthetic urls share 3 hot domains. Partitioning by domain
+    leaves >2.5x-mean partitions; the salted hash(url) repartition must land
+    near-uniform (binomial) across ALL partitions. Also guards the
+    double-hash regression: pre-pmod'ing the key to P values then letting
+    repartition hash again collides balls-in-bins and EMPTIES partitions."""
+    from smoldocling_ocr_spark.operators.pipeline import with_salted_partitioning
+    from smoldocling_ocr_spark.sources.documents import read_cc_documents
+
+    docs = read_cc_documents(spark, "/root/testdata/sf0.01")
+    n = 16
+    total = docs.count()
+    salted = with_salted_partitioning(docs, n)
+    sizes = [
+        r["c"]
+        for r in salted.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == n, f"empty partitions: only {len(sizes)}/{n} used"
+    assert max(sizes) / (total / n) < 1.8, f"skewed: {sorted(sizes)}"
+
+    dom = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    by_domain = docs.repartition(n, dom)
+    dom_sizes = [
+        r["c"]
+        for r in by_domain.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert max(sizes) < max(dom_sizes), "salting should beat domain partitioning"
+
+
 def test_no_unpartitioned_windows_anywhere(spark):
     """A window with no PARTITION BY moves every row to one partition — fatal
     at 100 TB. Global scalars must use the broadcast 1-row agg pattern
