@@ -780,6 +780,35 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "small_quantity_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#9'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q17-shaped correlated subquery, hand-decorrelated: the per-part
+    avg(quantity) threshold becomes a groupBy-agg relation broadcast back
+    onto the fact join — one scan of lineitem for thresholds, one for facts,
+    no per-row subquery execution. The oracle runs the CORRELATED form, so
+    the compare also proves decorrelation equivalence."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis (delegated modules)
 # ---------------------------------------------------------------------------
