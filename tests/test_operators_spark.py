@@ -162,6 +162,15 @@ def test_corrupt_payload_captured(spark):
     assert out[0]["parse_failed"] is True
 
 
+def test_empty_input_yields_empty_output(spark, cc_docs):
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    out = extract_documents(cc_docs.limit(0))
+    assert out.count() == 0
+    # schema survives the empty path (Arrow empty-batch handling)
+    assert "markdown" in out.columns and "parse_failed" in out.columns
+
+
 def test_streaming_windowed_watermark_agg(spark, tmp_path):
     """Event-time tumbling window + watermark over a streamed events table;
     the batch run of the same relation is the oracle (complete mode drains
