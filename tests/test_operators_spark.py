@@ -162,6 +162,34 @@ def test_corrupt_payload_captured(spark):
     assert out[0]["parse_failed"] is True
 
 
+def test_oversized_payload_tier_routing(spark, cc_docs):
+    """A >8MB payload must route to the oversized side of split_by_tier and
+    still extract (text-fallback path) in the dedicated low-parallelism
+    pass; normal docs are untouched."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents, split_by_tier
+
+    giant = spark.createDataFrame(
+        [
+            Row(
+                url="https://giant.example.com/big",
+                warc_ts=dt.datetime(2024, 1, 1),
+                html=bytearray(b"x" * (9 * 1024 * 1024)),
+                text="fallback text for the oversized document. " * 8,
+                lang="en",
+            )
+        ]
+    )
+    docs = cc_docs.limit(4).unionByName(giant)
+    normal, oversized = split_by_tier(docs)
+    assert normal.count() == 4
+    big = oversized.collect()
+    assert len(big) == 1 and big[0]["url"] == "https://giant.example.com/big"
+    out = extract_documents(oversized, num_partitions=2, salt=False).collect()
+    assert len(out) == 1 and out[0]["markdown"]
+
+
 def test_empty_input_yields_empty_output(spark, cc_docs):
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
 
