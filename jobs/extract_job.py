@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--cores", default=None, help="local[N] cores (local mode only)")
     args = parser.parse_args(argv)
 
-    from smoldocling_ocr_spark.operators.lineage import extraction_metrics, partition_lineage
+    from smoldocling_ocr_spark.operators.lineage import extraction_lineage, extraction_metrics
     from smoldocling_ocr_spark.operators.pipeline import extract_documents, split_by_tier
     from smoldocling_ocr_spark.session import get_spark
 
@@ -53,10 +53,12 @@ def main(argv: list[str] | None = None) -> None:
         big = extract_documents(oversized, num_partitions=4, already_extracted=already)
         big.write.mode("append").parquet(args.output)
 
-    if args.lineage:
-        partition_lineage(docs).write.mode("append").parquet(args.lineage)
-
     result = spark.read.parquet(args.output)
+    if args.lineage:
+        # lineage over the WRITTEN table: certifies exactly which partitions
+        # committed (north_rule checkpoint-resume), no second input scan
+        extraction_lineage(result).write.mode("append").parquet(args.lineage)
+
     extraction_metrics(result).show(truncate=False)
     spark.stop()
 

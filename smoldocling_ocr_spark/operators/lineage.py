@@ -59,6 +59,26 @@ def partition_lineage(docs: DataFrame) -> DataFrame:
     return docs.select("url", "html").mapInPandas(summarize, schema=LINEAGE_SCHEMA)
 
 
+def extraction_lineage(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage from the extracted table itself — the fused
+    pass stamps (partition_id, payload_bytes, parse_failed) on every row, so
+    the north-rule lineage relation (split id, doc count, parse-failure
+    count, bytes processed) is a plain hash aggregate with NO second scan of
+    the input. Computed over the *written* output it also certifies exactly
+    which partitions committed (checkpoint-resume proof)."""
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("parse_failure_count"),
+            F.sum("payload_bytes").alias("bytes_processed"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        )
+        .orderBy("partition_id")
+    )
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Aggregate job metrics over the extracted table (relational — one pass)."""
     return extracted.agg(

@@ -16,8 +16,9 @@ Scale design notes (100 TB / 10^12 docs):
     instead of stalling a batch (``split_by_tier``)
   * checkpoint-resume is a ``left_anti`` join against the output table on
     url (the reference's md5-memo cache, re-expressed; app.py:242-249)
-  * per-partition lineage rows (docs, bytes, parse failures) are emitted by
-    the same pass via ``extract_with_lineage`` for the metrics table
+  * per-partition lineage (docs, bytes, parse failures) needs no second
+    input scan: the same fused pass stamps (partition_id, payload_bytes)
+    on every row and ``lineage.extraction_lineage`` aggregates the output
 """
 
 from __future__ import annotations
@@ -51,6 +52,11 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("footnotes_linked", T.IntegerType(), True),
         T.StructField("noise_tagged", T.IntegerType(), True),
         T.StructField("parse_failed", T.BooleanType(), True),
+        # lineage fields stamped by the same fused pass (north_rule: per-
+        # partition doc/parse-failure/byte counts with NO second input scan —
+        # lineage is a groupBy(partition_id) over the extracted table)
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
     ]
 )
 
@@ -60,6 +66,10 @@ _OUT_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched worker: one python process handles whole batches; all
     per-document work happens in the deterministic functions/ core."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx else -1
     for pdf in batches:
         rows: list[dict[str, Any]] = []
         for url, warc_ts, payload, text in zip(
@@ -71,6 +81,8 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except Exception:
                 # north_rule: record parse failures in lineage, never raise
                 res = {"url": url, "parse_failed": True}
+            res["partition_id"] = pid
+            res["payload_bytes"] = len(payload)
             rows.append({col: res.get(col) for col in _OUT_COLS})
         yield pd.DataFrame(rows, columns=_OUT_COLS)
 

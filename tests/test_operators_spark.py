@@ -152,6 +152,29 @@ def test_resume_and_lineage(spark, cc_docs):
     assert all(r["bytes_processed"] > 0 for r in lineage if r["doc_count"])
 
 
+def test_extraction_lineage_same_pass(spark, cc_docs):
+    """north_rule lineage: the fused pass stamps partition_id/payload_bytes,
+    so per-partition doc/parse-failure/byte counts come from a plain agg of
+    the extracted table — including failure counts per split."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from smoldocling_ocr_spark.operators.lineage import extraction_lineage
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    bad = spark.createDataFrame(
+        [Row(url="https://x/corrupt", warc_ts=dt.datetime(2024, 1, 1),
+             html=bytearray(b"DOCLAYv1\n{oops"), text="", lang="en")]
+    )
+    docs = cc_docs.limit(9).unionByName(bad)
+    extracted = extract_documents(docs, num_partitions=4).cache()
+    rows = extraction_lineage(extracted).collect()
+    assert sum(r["doc_count"] for r in rows) == 10
+    assert sum(r["parse_failure_count"] for r in rows) == 1
+    assert sum(r["bytes_processed"] for r in rows) > 0
+    assert all(r["partition_id"] >= 0 for r in rows)
+    assert all(r["min_url"] <= r["max_url"] for r in rows)
+
+
 def test_corrupt_payload_captured(spark):
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
 
