@@ -137,6 +137,9 @@ def main() -> None:
         "sf": sf,
         "docs": n_docs,
         "cores": CPUS,
+        # N->4N scaling evidence (BENCH_SCALING=1 adds a fresh "scaling"
+        # block); measured numbers and methodology live in BENCH/BASELINE.md
+        "scaling_ref": "BENCH/BASELINE.md",
     }
 
     if os.environ.get("BENCH_SCALING"):
