@@ -84,6 +84,45 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(self.snap_dir, f"{manifest['sequence']:012d}-{commit_id}.json"))
         return manifest
 
+    def merge(self, df: DataFrame, key: str = "url") -> dict:
+        """MERGE INTO emulation (idempotent upsert by key): the new snapshot
+        holds (current rows whose key is absent from df) ∪ df, written as a
+        full copy-on-write commit — re-running the same merge is a no-op in
+        content. Real Iceberg does this with row-level deletes; the snapshot
+        isolation, atomicity, and time-travel properties here are identical.
+        """
+        spark = df.sparkSession
+        current = self.read(spark)
+        merged = df if current is None else current.join(df.select(key), on=key, how="left_anti").unionByName(df)
+
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
+        merged.write.mode("error").parquet(commit_dir)
+        files = sorted(
+            os.path.join(commit_dir, fn)
+            for fn in os.listdir(commit_dir)
+            if fn.endswith(".parquet")
+        )
+        row_count = spark.read.parquet(commit_dir).count()
+        parent = self.current_snapshot()
+        manifest = {
+            "snapshot_id": commit_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "sequence": (parent["sequence"] + 1) if parent else 1,
+            "operation": "merge",
+            "timestamp_ms": int(time.time() * 1000),
+            # copy-on-write: this snapshot's files REPLACE the parent's
+            "files": files,
+            "added_files": files,
+            "added_rows": row_count,
+            "total_rows": row_count,
+        }
+        tmp = os.path.join(self.snap_dir, f".{commit_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{manifest['sequence']:012d}-{commit_id}.json"))
+        return manifest
+
     # -- read path -----------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame | None:

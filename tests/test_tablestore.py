@@ -53,3 +53,30 @@ def test_resume_against_snapshot(spark, tmp_path):
     assert final.select("url").distinct().count() == total
     # rerunning resume against the full snapshot extracts nothing
     assert extract_documents(docs, already_extracted=table.read(spark)).count() == 0
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    """MERGE INTO emulation: upsert by url replaces matching rows, keeps the
+    rest, and re-running the identical merge changes nothing (idempotent
+    re-runs — the cache/resume contract). Old snapshot stays readable."""
+    from smoldocling_ocr_spark.sources.tablestore import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [("u1", "v1"), ("u2", "v1"), ("u3", "v1")], ["url", "payload"]
+    )
+    snap1 = t.append(base)
+
+    update = spark.createDataFrame([("u2", "v2"), ("u4", "v2")], ["url", "payload"])
+    snap2 = t.merge(update, key="url")
+    got = {(r["url"], r["payload"]) for r in t.read(spark).collect()}
+    assert got == {("u1", "v1"), ("u2", "v2"), ("u3", "v1"), ("u4", "v2")}
+    assert snap2["operation"] == "merge" and snap2["total_rows"] == 4
+
+    snap3 = t.merge(update, key="url")  # identical re-run
+    again = {(r["url"], r["payload"]) for r in t.read(spark).collect()}
+    assert again == got and snap3["total_rows"] == 4
+
+    # time travel: the pre-merge snapshot is untouched
+    old = {(r["url"], r["payload"]) for r in t.read(spark, snap1["snapshot_id"]).collect()}
+    assert old == {("u1", "v1"), ("u2", "v1"), ("u3", "v1")}
