@@ -781,6 +781,64 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pdf_date_parse_relational",
+    sql="""
+    SELECT iso_date, count(*) AS orders FROM (
+      SELECT substr(d, 3, 4) || '-' || substr(d, 7, 2) || '-' || substr(d, 9, 2)
+             || 'T' || substr(d, 11, 2) || ':' || substr(d, 13, 2) || ':' || substr(d, 15, 2) AS iso_date
+      FROM (SELECT strftime(o_orderdate, 'D:%Y%m%d%H%M%S') AS d FROM orders)
+    ) GROUP BY iso_date ORDER BY iso_date LIMIT 20
+    """,
+)
+def q_pdf_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata_extractor.py:18-55 PDF date parse (D:YYYYMMDDHHmmSS → ISO
+    8601) as the relational twin: build the D:-format string from a real
+    timestamp column, then re-extract the components — exercises the exact
+    positional slicing the in-UDF parser uses."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.date_format("o_orderdate", "'D:'yyyyMMddHHmmss")
+    iso = F.concat(
+        F.substring(d, 3, 4), F.lit("-"), F.substring(d, 7, 2), F.lit("-"), F.substring(d, 9, 2),
+        F.lit("T"), F.substring(d, 11, 2), F.lit(":"), F.substring(d, 13, 2), F.lit(":"), F.substring(d, 15, 2),
+    )
+    return (
+        orders.select(iso.alias("iso_date"))
+        .groupBy("iso_date")
+        .agg(F.count("*").alias("orders"))
+        .orderBy("iso_date")
+        .limit(20)
+    )
+
+
+@query(
+    "hyphen_merge_strict",
+    sql=r"""
+    SELECT count(DISTINCT merged) AS variants, sum(length(merged)) AS total_len FROM (
+      SELECT regexp_replace(
+               substr(text, 1, 20) || '-' || chr(10) || lower(substr(text, 22, 10)),
+               '([a-zA-Z]+)-\s*\n\s*([a-z]+)', '\1\2', 'g') AS merged
+      FROM documents
+    )
+    """,
+)
+def q_hyphen_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleaner.py:5-13 strict hyphen merge as a relational twin: synthesize a
+    hyphen-newline break inside each document's text, merge with the strict
+    pattern (continuation must be lowercase), and compare aggregate shape —
+    a cross-engine backreference-dialect check ($1$2 in Spark, \\1\\2 in
+    DuckDB) for the §4.2 parity trap."""
+    docs = read_table(spark, sf_dir, "documents")
+    broken = F.concat(
+        F.substring("text", 1, 20), F.lit("-\n"), F.lower(F.substring("text", 22, 10))
+    )
+    merged = F.regexp_replace(broken, r"([a-zA-Z]+)-\s*\n\s*([a-z]+)", "$1$2")
+    return docs.select(merged.alias("merged")).agg(
+        F.count_distinct("merged").alias("variants"),
+        F.sum(F.length("merged")).alias("total_len"),
+    )
+
+
+@query(
     "small_quantity_revenue",
     sql="""
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
