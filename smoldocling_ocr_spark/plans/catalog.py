@@ -781,6 +781,29 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_api_reading_order",
+    sql="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS reading_order
+    FROM events ORDER BY user_id, reading_order LIMIT 500
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface: the XY-cut reading-order window expressed as
+    a SQL string over a registered temp view — same Catalyst plan as the
+    DataFrame form (xycut_reading_order), proving both API layers hit
+    identical semantics."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS reading_order
+        FROM events_v ORDER BY user_id, reading_order LIMIT 500
+        """
+    )
+
+
+@query(
     "pdf_date_parse_relational",
     sql="""
     SELECT iso_date, count(*) AS orders FROM (
