@@ -30,18 +30,30 @@ IVF_NPROBE = 3
 N_BLOCKS = 8
 
 
-def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int = N_BLOCKS) -> DataFrame:
+MAX_BLOCK_ROWS = 4096  # keep a collected block ≈ 4096 vectors (≈1 MB @ 64-dim f64)
+
+
+def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int | None = None) -> DataFrame:
     """(vec_a, vec_b) pairs with cosine > threshold, via tiled numpy GEMM.
 
     Plan shape: groupBy(block) collect → B rows of (ids, matrix) → self-join
     on block_a <= block_b (B(B+1)/2 tile pairs) → mapInPandas computes the
     normalized tile product and emits qualifying pairs. Double precision to
     match the DuckDB oracle's DOUBLE[] computation.
+
+    B scales with the corpus (ceil(N / MAX_BLOCK_ROWS), min 8) so a collected
+    block row stays bounded regardless of N — a fixed B would grow block rows
+    linearly toward the 2 GB row limit. The result is blocking-invariant.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
     from pyspark.sql import types as T
+
+    if n_blocks is None:
+        n_blocks = max(N_BLOCKS, math.ceil(emb.count() / MAX_BLOCK_ROWS))
 
     blocks = (
         emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
