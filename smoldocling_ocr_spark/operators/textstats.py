@@ -21,8 +21,8 @@ def register(query) -> None:
         "token_counting",
         sql=f"""
         SELECT lang,
-               sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS ws_tokens,
-               sum(length(regexp_extract_all(text, '{_BPE_RE}'))) AS bpe_tokens,
+               CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+               CAST(sum(length(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_tokens,
                count(*) AS docs
         FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -82,8 +82,8 @@ def register(query) -> None:
         "langid_script_heuristic",
         sql="""
         SELECT lang,
-               sum(CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) * 2 > length(text)
-                        THEN 1 ELSE 0 END) AS non_latin_docs,
+               CAST(sum(CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) * 2 > length(text)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS non_latin_docs,
                count(*) AS docs
         FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -108,7 +108,7 @@ def register(query) -> None:
         sql="""
         SELECT CASE WHEN n_chars <= 200 THEN 0 WHEN n_chars <= 400 THEN 1
                     WHEN n_chars <= 800 THEN 2 ELSE 3 END AS tier,
-               count(*) AS docs, sum(n_chars) AS total_chars
+               count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY tier
         """,
     )

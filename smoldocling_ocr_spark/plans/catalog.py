@@ -64,7 +64,7 @@ _WM_WORDS = r"^(CONFIDENTIAL|DRAFT|SAMPLE|PREVIEW|WATERMARK)$"
     "noise_page_number_tagging",
     sql=f"""
     SELECT source, count(*) AS docs,
-           sum(CASE WHEN regexp_matches(trim(text), '{_PAGE_NUM_SQLRE}') THEN 1 ELSE 0 END) AS page_number_docs
+           CAST(sum(CASE WHEN regexp_matches(trim(text), '{_PAGE_NUM_SQLRE}') THEN 1 ELSE 0 END) AS BIGINT) AS page_number_docs
     FROM documents GROUP BY source ORDER BY source
     """,
 )
@@ -162,8 +162,8 @@ def q_repeater(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(value), 4) AS max_conf,
            round(stddev_samp(value), 4) AS std_dev,
            count(*) AS total_elements,
-           sum(CASE WHEN value < 0.7 THEN 1 ELSE 0 END) AS uncertain_count,
-           sum(CASE WHEN value < 0.5 THEN 1 ELSE 0 END) AS low_confidence_count
+           CAST(sum(CASE WHEN value < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS uncertain_count,
+           CAST(sum(CASE WHEN value < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS low_confidence_count
     FROM (SELECT event_type, value / (max(value) OVER ()) AS value FROM events)
     GROUP BY event_type ORDER BY event_type
     """,
@@ -246,8 +246,8 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "word_char_counts",
     sql="""
-    SELECT lang, sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS words,
-           sum(length(text)) AS chars, count(*) AS docs
+    SELECT lang, CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS words,
+           CAST(sum(length(text)) AS BIGINT) AS chars, count(*) AS docs
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -322,7 +322,7 @@ def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     )
     SELECT user_id, count(*) AS n_events,
-           sum(new_col) AS column_count
+           CAST(sum(new_col) AS BIGINT) AS column_count
     FROM flagged GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -592,8 +592,8 @@ def q_resume_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unicode_dash_normalize",
     sql="""
-    SELECT sum(CASE WHEN text LIKE '%—%' OR text LIKE '%–%' OR text LIKE '%−%' THEN 1 ELSE 0 END) AS docs_with_dashes,
-           sum(length(replace(replace(replace(replace(text, '—', '-'), '–', '-'), '−', '-'), '―', '-'))) AS normalized_chars
+    SELECT CAST(sum(CASE WHEN text LIKE '%—%' OR text LIKE '%–%' OR text LIKE '%−%' THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dashes,
+           CAST(sum(length(replace(replace(replace(replace(text, '—', '-'), '–', '-'), '−', '-'), '―', '-'))) AS BIGINT) AS normalized_chars
     FROM documents
     """,
 )
@@ -868,7 +868,7 @@ def q_pdf_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hyphen_merge_strict",
     sql=r"""
-    SELECT count(DISTINCT merged) AS variants, sum(length(merged)) AS total_len FROM (
+    SELECT count(DISTINCT merged) AS variants, CAST(sum(length(merged)) AS BIGINT) AS total_len FROM (
       SELECT regexp_replace(
                substr(text, 1, 20) || '-' || chr(10) || lower(substr(text, 22, 10)),
                '([a-zA-Z]+)-\s*\n\s*([a-z]+)', '\1\2', 'g') AS merged
