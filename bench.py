@@ -68,6 +68,16 @@ _MP_ROWS: list = []
 _MP_CHUNK = 250
 
 
+def _mp_init(n_docs: int) -> None:
+    # initializer regenerates the rows in each worker: correct under both
+    # fork and spawn start methods (fork inheritance of a module global is
+    # not portable and yields empty chunks / div-by-zero under spawn)
+    global _MP_ROWS
+    from smoldocling_ocr_spark.sources.corpus import generate_rows
+
+    _MP_ROWS = generate_rows(n_docs)
+
+
 def _mp_work(chunk_id: int) -> int:
     from smoldocling_ocr_spark.functions.extract import extract_document
 
@@ -87,20 +97,71 @@ def _host_scaling_ceiling(n_docs: int = 24000) -> float:
     operating point and does not pay this. Returns rate(32)/rate(8)/4."""
     import multiprocessing as mp
 
-    global _MP_ROWS
-    if not _MP_ROWS:
-        from smoldocling_ocr_spark.sources.corpus import generate_rows
-
-        _MP_ROWS = generate_rows(n_docs)
-    n_chunks = len(_MP_ROWS) // _MP_CHUNK
+    n_chunks = n_docs // _MP_CHUNK
     rates = {}
     for procs in (8, 32):
-        with mp.Pool(procs) as pool:
+        with mp.Pool(procs, initializer=_mp_init, initargs=(n_docs,)) as pool:
             pool.map(_mp_work, range(min(procs, n_chunks)))  # warm
             t0 = time.time()
             done = sum(pool.map(_mp_work, range(n_chunks)))
             rates[procs] = done / (time.time() - t0)
+    assert done == n_chunks * _MP_CHUNK, "mp workers saw empty row chunks"
     return rates[32] / rates[8] / 4.0
+
+
+def _scaling_measurement(scale_path: str, rounds: int) -> dict:
+    """Paired interleaved N→4N scaling rounds (sandbox stand-in for N vs 4N
+    executors, per BASELINE.md): each round measures local[8], local[32], and
+    the bare-multiprocessing host ceiling back-to-back so all three share the
+    host's transient load, and contributes one paired efficiency ratio. The
+    MEDIAN round is reported, and the published per-config rates come from
+    that same round so rate(32)/rate(8)/4 reproduces the published raw
+    efficiency exactly."""
+    import statistics
+
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+    from smoldocling_ocr_spark.session import get_spark
+
+    measured: list[dict] = []
+    for _ in range(rounds):
+        rates: dict[int, tuple[float, float]] = {}
+        for cores in (8, 32):
+            s = get_spark(app_name=f"bench_scale_{cores}", cores=cores)
+            docs = s.read.parquet(scale_path)
+            extract_documents(docs.limit(512)).count()  # warm workers/codegen
+            t0 = time.time()
+            n = extract_documents(docs).count()
+            sec = time.time() - t0
+            rates[cores] = (n / sec, sec)
+            s.stop()
+        measured.append(
+            {
+                "rates": rates,
+                "eff": rates[32][0] / rates[8][0] / 4.0,
+                "ceiling": _host_scaling_ceiling(),
+            }
+        )
+    effs = sorted(r["eff"] for r in measured)
+    median_eff = statistics.median(effs)
+    # the round whose efficiency is closest to the median (== the median
+    # round for odd counts) supplies the published rates and ceiling
+    med = min(measured, key=lambda r: abs(r["eff"] - median_eff))
+    host_ceiling = statistics.median(r["ceiling"] for r in measured)
+    return {
+        **{
+            f"local[{cores}]": {"docs_per_sec": round(rate, 2), "sec": round(sec, 3)}
+            for cores, (rate, sec) in med["rates"].items()
+        },
+        "round_efficiencies": [round(r["eff"], 4) for r in measured],
+        "efficiency_n_to_4n": round(med["eff"], 4),
+        # what THIS HOST allows when the same per-doc workload runs under
+        # bare multiprocessing (frequency scaling + memory-bandwidth
+        # contention at 32 busy cores, zero framework overhead); a real
+        # N->4N executor scale-out adds machines that each stay at the
+        # N-core operating point and does not pay this
+        "host_mp_ceiling": round(host_ceiling, 4),
+        "normalized_efficiency": round(min(med["eff"] / host_ceiling, 1.0), 4),
+    }
 
 
 def main() -> None:
@@ -132,76 +193,33 @@ def main() -> None:
     result = {
         "metric": "extract_docs_per_sec",
         "value": round(n_docs / extract_sec, 2),
-        "unit": "sec",
+        "unit": "docs/sec",
         "queries": queries,
         "sf": sf,
         "docs": n_docs,
         "cores": CPUS,
-        # N->4N scaling evidence (BENCH_SCALING=1 adds a fresh "scaling"
-        # block); measured numbers and methodology live in BENCH/BASELINE.md
+        # methodology for the scaling block below lives in BENCH/BASELINE.md
         "scaling_ref": "BENCH/BASELINE.md",
     }
 
-    if os.environ.get("BENCH_SCALING"):
-        spark.stop()
-        # scaling needs a workload large enough that per-job fixed overhead
-        # (scheduling, scan task launch) is negligible at the FAST config —
-        # target >= 15s of work at 4N cores (raised from 24k when the salted-
-        # partitioning fix tripled absolute throughput and the 4N run
-        # shrank to ~5s of mostly fixed cost)
+    spark.stop()
+
+    # N->4N scaling evidence runs by DEFAULT (the north-rule criterion must
+    # land in every BENCH_rN.json): 2 paired rounds normally, 3 under
+    # BENCH_SCALING=1, skipped only with BENCH_SCALING=0.
+    # The workload must be large enough that per-job fixed overhead
+    # (scheduling, scan task launch) is negligible at the FAST config —
+    # target >= 15s of work at 4N cores.
+    if os.environ.get("BENCH_SCALING") != "0":
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
-        # PAIRED interleaved rounds: the sandbox host carries variable
-        # background load that drifts over minutes, so an efficiency ratio
-        # built from temporally distant samples is noise (observed 0.56–0.84
-        # across runs of identical code). Each round measures local[8],
-        # local[32], and the bare-multiprocessing host ceiling back-to-back
-        # (shared host state) and contributes one paired ratio; the median
-        # round is reported.
-        import statistics
-
-        from smoldocling_ocr_spark.operators.pipeline import extract_documents
-
-        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-        round_effs: list[float] = []
-        round_ceils: list[float] = []
-        best: dict[int, tuple[float, float]] = {}
-        for _ in range(rounds):
-            rates: dict[int, float] = {}
-            for cores in (8, 32):
-                s = get_spark(app_name=f"bench_scale_{cores}", cores=cores)
-                docs = s.read.parquet(scale_path)
-                extract_documents(docs.limit(512)).count()  # warm workers/codegen
-                t0 = time.time()
-                n = extract_documents(docs).count()
-                sec = time.time() - t0
-                rates[cores] = n / sec
-                if cores not in best or rates[cores] > best[cores][0]:
-                    best[cores] = (rates[cores], sec)
-                s.stop()
-            round_effs.append(rates[32] / rates[8] / 4.0)
-            round_ceils.append(_host_scaling_ceiling())
-        scaling = {
-            f"local[{cores}]": {"docs_per_sec": round(rate, 2), "sec": round(sec, 3)}
-            for cores, (rate, sec) in best.items()
-        }
-        raw_eff = statistics.median(round_effs)
-        host_ceiling = statistics.median(round_ceils)
+        rounds = int(
+            os.environ.get("BENCH_SCALING_ROUNDS", "3" if os.environ.get("BENCH_SCALING") else "2")
+        )
         result["scaling"] = {
-            **scaling,
             "scaling_docs": scale_docs,
-            "round_efficiencies": [round(x, 4) for x in round_effs],
-            "efficiency_n_to_4n": round(raw_eff, 4),
-            # what THIS HOST allows when the same per-doc workload runs under
-            # bare multiprocessing (frequency scaling + memory-bandwidth
-            # contention at 32 busy cores, zero framework overhead); a real
-            # N->4N executor scale-out adds machines that each stay at the
-            # N-core operating point and does not pay this
-            "host_mp_ceiling": round(host_ceiling, 4),
-            "normalized_efficiency": round(min(raw_eff / host_ceiling, 1.0), 4),
+            **_scaling_measurement(scale_path, rounds),
         }
-    else:
-        spark.stop()
 
     print(json.dumps(result))
 

@@ -105,21 +105,46 @@ def register(query) -> None:
         partners) instead of the full quadratic shingle self-join, then every
         candidate pair is verified exactly with array_intersect. Shingles are
         64-bit hashes (8-byte shuffle keys; the oracle joins exact strings).
-        """
-        from pyspark.sql import Window as W
 
+        Plan shape (4 shuffles + the final tiny sort, AQE-coalescible —
+        no cache pin, no per-doc window sort):
+          sh(distinct on longs) → freq ⨝ sh → per-doc sorted (df,sh) set
+          → prefix = slice(set) explode → prefix self-join → verify on the
+          SAME collected set (sz := size(shs), so prefix length and the
+          verified set can never disagree under a hash collision).
+        """
         docs = read_table(spark, sf_dir, "documents")
-        sh = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("sh")).cache()
+        toks = F.split(F.lower(F.col("text")), " ")
+        n = 3
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+        sh = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+                ).alias("sh"),
+            )
+            .distinct()
+        )
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-        rn = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh"))
-        prefix_len = F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
-        prefix = (
+        # One groupBy builds the rarest-first-sorted shingle set per doc;
+        # sz and the prefix both derive from it (no separate sizes agg, no
+        # row_number window exchange).
+        docsets = (
             sh.join(freq, "sh")
-            .join(sizes, "doc_id")
-            .withColumn("rn", rn)
-            .filter(F.col("rn") <= prefix_len)
-            .select("doc_id", "sh")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set(F.struct("df", "sh"))).alias("ranked"))
+            .select(
+                "doc_id",
+                F.transform("ranked", lambda s: s["sh"]).alias("shs"),
+                F.size("ranked").alias("sz"),
+            )
+        )
+        prefix_len = (
+            F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+        ).cast("int")
+        prefix = docsets.select(
+            "doc_id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
         )
         a = prefix.alias("a")
         b = prefix.alias("b")
@@ -128,7 +153,6 @@ def register(query) -> None:
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-        docsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
         sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
         sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
         inter = F.size(F.array_intersect("shs_a", "shs_b"))

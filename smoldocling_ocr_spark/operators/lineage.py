@@ -65,9 +65,16 @@ def extraction_lineage(extracted: DataFrame) -> DataFrame:
     the north-rule lineage relation (split id, doc count, parse-failure
     count, bytes processed) is a plain hash aggregate with NO second scan of
     the input. Computed over the *written* output it also certifies exactly
-    which partitions committed (checkpoint-resume proof)."""
+    which partitions committed (checkpoint-resume proof).
+
+    TaskContext partition ids restart at 0 for every pass and every run, so
+    when the table carries run/pass discriminators (stamped by
+    jobs/extract_job.py) they join the grouping key — otherwise rows from the
+    normal and oversized passes (or two resume runs) would conflate under the
+    same partition_id."""
+    keys = [c for c in ("run_id", "extract_pass") if c in extracted.columns] + ["partition_id"]
     return (
-        extracted.groupBy("partition_id")
+        extracted.groupBy(*keys)
         .agg(
             F.count("*").alias("doc_count"),
             F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("parse_failure_count"),
@@ -75,7 +82,7 @@ def extraction_lineage(extracted: DataFrame) -> DataFrame:
             F.min("url").alias("min_url"),
             F.max("url").alias("max_url"),
         )
-        .orderBy("partition_id")
+        .orderBy(*keys)
     )
 
 

@@ -33,7 +33,12 @@ N_BLOCKS = 8
 MAX_BLOCK_ROWS = 4096  # keep a collected block ≈ 4096 vectors (≈1 MB @ 64-dim f64)
 
 
-def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int | None = None) -> DataFrame:
+def blocked_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_blocks: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
     """(vec_a, vec_b) pairs with cosine > threshold, via tiled numpy GEMM.
 
     Plan shape: groupBy(block) collect → B rows of (ids, matrix) → self-join
@@ -44,6 +49,11 @@ def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int | None 
     B scales with the corpus (ceil(N / MAX_BLOCK_ROWS), min 8) so a collected
     block row stays bounded regardless of N — a fixed B would grow block rows
     linearly toward the 2 GB row limit. The result is blocking-invariant.
+
+    Pass ``n_rows`` (e.g. from parquet footer metadata — see
+    :func:`parquet_row_count`) so sizing B costs zero Spark jobs; the
+    ``emb.count()`` fallback is a full extra scan per call and exists only
+    for ad-hoc callers that truly don't know N.
     """
     import math
 
@@ -53,7 +63,9 @@ def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int | None 
     from pyspark.sql import types as T
 
     if n_blocks is None:
-        n_blocks = max(N_BLOCKS, math.ceil(emb.count() / MAX_BLOCK_ROWS))
+        if n_rows is None:
+            n_rows = emb.count()
+        n_blocks = max(N_BLOCKS, math.ceil(n_rows / MAX_BLOCK_ROWS))
 
     blocks = (
         emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
@@ -100,6 +112,20 @@ def blocked_cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int | None 
             yield pd.DataFrame(rows, columns=["vec_a", "vec_b"])
 
     return tiles.mapInPandas(score_tiles, schema=out_schema)
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side O(footers)
+    read, no Spark job. At cluster scale the same number comes from the table
+    catalog (Iceberg snapshot summary ``total-records``) for free."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _cosine(a, b):
@@ -165,7 +191,8 @@ def register(query) -> None:
         all-pairs shape: per-tile work is dense BLAS, the shuffle moves each
         vector B times instead of N times."""
         emb = read_table(spark, sf_dir, "embeddings")
-        return blocked_cosine_pairs(emb, NEARDUP_THRESHOLD).orderBy("vec_a", "vec_b")
+        n = parquet_row_count(sf_dir, "embeddings")
+        return blocked_cosine_pairs(emb, NEARDUP_THRESHOLD, n_rows=n).orderBy("vec_a", "vec_b")
 
     sign_sql = " || ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(SIGN_BITS)

@@ -292,3 +292,32 @@ def test_streaming_stateful_first_seen_dedup(spark, cc_docs, tmp_path):
     assert set(got) == set(firsts)
     # every emitted row is the earliest crawl of its url
     assert all(got[u] == min(firsts[u], firsts[u] + dt.timedelta(days=1)) for u in got)
+
+
+def test_extraction_lineage_run_pass_discriminators(spark, cc_docs):
+    """TaskContext partition ids restart at 0 per pass/run; when the table
+    carries (run_id, extract_pass) stamps the lineage groupBy must keep
+    same-numbered partitions from different passes apart (ADVICE r01)."""
+    from smoldocling_ocr_spark.operators.lineage import extraction_lineage
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    # cache so both union branches reuse the SAME materialized rows (a live
+    # union would renumber the second branch's partitions stage-wide)
+    base = extract_documents(cc_docs.limit(8), num_partitions=2).cache()
+    base.count()
+    both = (
+        base.withColumn("run_id", F.lit("r1")).withColumn("extract_pass", F.lit("normal"))
+        .unionByName(
+            base.withColumn("run_id", F.lit("r1")).withColumn("extract_pass", F.lit("oversized"))
+        )
+    )
+    rows = extraction_lineage(both).collect()
+    assert {"run_id", "extract_pass", "partition_id"} <= set(rows[0].asDict())
+    keys = [(r["run_id"], r["extract_pass"], r["partition_id"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # same partition_id appears once per pass, never merged
+    passes_per_pid = {}
+    for r in rows:
+        passes_per_pid.setdefault(r["partition_id"], set()).add(r["extract_pass"])
+    assert any(len(v) == 2 for v in passes_per_pid.values())
+    assert sum(r["doc_count"] for r in rows) == 16
