@@ -245,8 +245,8 @@ def render_table(elem: dict[str, Any]) -> str:
 
 def render_figure(elem: dict[str, Any]) -> str:
     caption = elem.get("caption") or ""
-    alt_text = elem.get("alt") or elem.get("description") or "Figure"
     reading_order = elem.get("reading_order")
+    content = elem.get("content") or ""
     out = ""
     if reading_order is not None:
         out += f"<!-- reading-order:{reading_order} -->\n"
@@ -254,7 +254,14 @@ def render_figure(elem: dict[str, Any]) -> str:
     if caption:
         out += f' caption:"{caption.replace(chr(34), chr(92) + chr(34))}"'
     out += " -->\n"
-    out += f"![{alt_text}](image)\n"
+    if content:
+        # the reference emits the figure element's content string verbatim
+        # ("[Figure: WxHpx]" placeholders from the occupancy-grid detector
+        # and from OCR-path figure elements) — structure_engine.py:552-560
+        out += content + "\n"
+    else:
+        alt_text = elem.get("alt") or elem.get("description") or "Figure"
+        out += f"![{alt_text}](image)\n"
     if caption:
         out += f"\n*{caption}*\n"
     return out

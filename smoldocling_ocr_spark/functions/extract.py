@@ -21,6 +21,7 @@ from . import annotate, captions, confidence, langid, layout, layoutcodec, metad
 from .htmlstrip import extract_elements as html_extract_elements
 
 DEFAULT_PAGE_HEIGHT = 800.0
+DEFAULT_PAGE_WIDTH = 612.0
 
 
 def _looks_like_html(payload: bytes) -> bool:
@@ -28,13 +29,19 @@ def _looks_like_html(payload: bytes) -> bool:
     return head.startswith(b"<!doctype") or head.startswith(b"<html") or head.startswith(b"<head") or head.startswith(b"<body")
 
 
-def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list[dict[str, Any]]], list[float], dict[str, Any], str]:
-    """payload → (pages_elements, page_heights, doc_meta, method)."""
+def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list[dict[str, Any]]], list[tuple[float, float]], dict[str, Any], str]:
+    """payload → (pages_elements, page_dims (w, h), doc_meta, method)."""
     if layoutcodec.is_layout_payload(payload):
         doc = layoutcodec.decode_layout(payload)
         pages = [p.get("elements", []) for p in doc.get("pages", [])]
-        heights = [float(p.get("height", DEFAULT_PAGE_HEIGHT)) for p in doc.get("pages", [])]
-        return pages, heights, doc.get("meta", {}), "layout_ocr"
+        dims = [
+            (
+                float(p.get("width", DEFAULT_PAGE_WIDTH)),
+                float(p.get("height", DEFAULT_PAGE_HEIGHT)),
+            )
+            for p in doc.get("pages", [])
+        ]
+        return pages, dims, doc.get("meta", {}), "layout_ocr"
     if _looks_like_html(payload):
         elements = html_extract_elements(payload.decode("utf-8", errors="replace"))
         # acceptance gate (structure_engine.py:914-928 router analog): if the
@@ -44,7 +51,7 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
         total_chars = sum(len(e.get("content") or "") for e in elements if e.get("type") == "text")
         if total_chars > 100:
             height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
-            return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "html_dom"
+            return [elements], [(DEFAULT_PAGE_WIDTH, max(height, DEFAULT_PAGE_HEIGHT))], {}, "html_dom"
     # plain-text fallback source (the `text` column) — digital-path analog
     text = text_fallback if text_fallback else payload.decode("utf-8", errors="replace")
     elements = []
@@ -60,34 +67,43 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
             }
         )
     height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
-    return [elements], [max(height, DEFAULT_PAGE_HEIGHT)], {}, "text_layer"
+    return [elements], [(DEFAULT_PAGE_WIDTH, max(height, DEFAULT_PAGE_HEIGHT))], {}, "text_layer"
 
 
 def run_layout_analysis(
     pages: list[list[dict[str, Any]]],
     page_dims: list[tuple[float, float]] | None = None,
-    detect_figures: bool = False,
+    detect_figures: bool = True,
 ) -> tuple[list[list[dict[str, Any]]], int]:
     """Per-page geometric pass for bbox-bearing (layout) payloads.
 
     ``detect_figures`` runs the occupancy-grid empty-region detector
-    (structure_engine.py:384 calls it on every scan page) before analysis.
-    Off by default: on sparse pages the connected margin region floods into
-    one page-sized candidate, so goldens are frozen without it.
+    (structure_engine.py:384 calls it on every scan page) before analysis —
+    ON by default to match the reference. Sparse pages can flood the
+    connected margin region into one page-sized candidate; the reference has
+    the same behavior, filtered only by the >=100px-per-dimension size gate
+    (structure_engine.py:240-249, mirrored in figures.py), so goldens encode
+    it rather than avoid it.
     """
     out: list[list[dict[str, Any]]] = []
     max_columns = 0
     for page_idx, elements in enumerate(pages):
         with_bbox = [e for e in elements if e.get("bbox")]
         if with_bbox and len(with_bbox) == len(elements):
+            result = layout.analyze_page(elements)
+            analyzed = result["elements"]
             if detect_figures and page_dims:
+                # reference order: the analyzer sees only the original
+                # elements; grid-detected figure regions are appended AFTER
+                # analysis with no reading_order (structure_engine.py:384-411)
+                # and the (reading_order or 0, y) render sort places them
+                # first on the page, y-ordered (semantic_annotator.py:360-364)
                 from .figures import detect_figure_regions
 
                 width, height = page_dims[page_idx]
                 boxes = [tuple(e["bbox"]) for e in elements if e.get("type") == "text"]
-                elements = elements + detect_figure_regions(width, height, boxes)
-            result = layout.analyze_page(elements)
-            out.append(result["elements"])
+                analyzed = analyzed + detect_figure_regions(width, height, boxes)
+            out.append(analyzed)
             max_columns = max(max_columns, result["column_count"])
         else:
             out.append(elements)
@@ -102,10 +118,11 @@ def extract_document(
     text_fallback: str | None = None,
 ) -> dict[str, Any]:
     """One document row → {markdown, quality metrics, lineage fields}."""
-    pages, heights, doc_meta, method = decode_payload(payload, text_fallback)
+    pages, dims, doc_meta, method = decode_payload(payload, text_fallback)
+    heights = [h for _, h in dims]
 
     if method == "layout_ocr":
-        pages, n_columns = run_layout_analysis(pages)
+        pages, n_columns = run_layout_analysis(pages, page_dims=dims)
     else:
         n_columns = 1
 

@@ -251,6 +251,13 @@ def analyze_page(
 
     stats = _page_stats(ordered)
     for i, elem in enumerate(ordered):
+        if elem.get("type") == "figure" and elem.get("semantic_role"):
+            # occupancy-grid figure regions carry their role from the
+            # detector (structure_engine.py:245-249 emits semantic_role=
+            # 'figure'); the reference never re-classifies them — image
+            # regions are appended after analyze_page_layout runs (:384-411)
+            elem.setdefault("role_confidence", 1.0)
+            continue
         prev_elem = ordered[i - 1] if i > 0 else None
         next_elem = ordered[i + 1] if i < len(ordered) - 1 else None
         role, conf = classify_role_enhanced(elem, stats, prev_elem, next_elem)

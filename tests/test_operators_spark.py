@@ -321,3 +321,35 @@ def test_extraction_lineage_run_pass_discriminators(spark, cc_docs):
         passes_per_pid.setdefault(r["partition_id"], set()).add(r["extract_pass"])
     assert any(len(v) == 2 for v in passes_per_pid.values())
     assert sum(r["doc_count"] for r in rows) == 16
+
+
+def test_scan_path_emits_grid_figures_in_flow():
+    """Grid-detected figure regions reach the markdown on the scan path:
+    appended AFTER layout analysis with no reading_order (structure_engine.py
+    :384-411), so the (reading_order or 0, y) render sort places them first
+    on their page, and text reading order / column count are unperturbed."""
+    from smoldocling_ocr_spark.functions.extract import extract_document, decode_payload, run_layout_analysis
+    from smoldocling_ocr_spark.sources.corpus import generate_rows
+    from smoldocling_ocr_spark.functions import layoutcodec
+
+    rows = [r for r in generate_rows(60) if layoutcodec.is_layout_payload(bytes(r["html"]))]
+    assert rows
+    r = rows[0]
+    res = extract_document(r["url"], r["warc_ts"], bytes(r["html"]), r["text"])
+    assert res["method"] == "layout_ocr"
+    md = res["markdown"]
+    assert "[Figure:" in md
+    # the grid figure renders before the first reading-ordered element
+    page1 = md.split("<!-- page:1 -->")[1].split("<!-- page:2 -->")[0]
+    assert page1.index("role:figure") < page1.index("reading-order:1")
+
+    # figure regions never perturb the analyzer: columns and text order are
+    # identical with detection on and off
+    pages, dims, _, _ = decode_payload(bytes(r["html"]), r["text"])
+    on, ncol_on = run_layout_analysis([list(p) for p in pages], page_dims=dims, detect_figures=True)
+    pages2, _, _, _ = decode_payload(bytes(r["html"]), r["text"])
+    off, ncol_off = run_layout_analysis([list(p) for p in pages2], page_dims=dims, detect_figures=False)
+    assert ncol_on == ncol_off
+    texts_on = [[(e.get("content"), e.get("reading_order")) for e in p if "bbox" in e and e.get("type") == "text"] for p in on]
+    texts_off = [[(e.get("content"), e.get("reading_order")) for e in p if "bbox" in e and e.get("type") == "text"] for p in off]
+    assert texts_on == texts_off
