@@ -32,6 +32,9 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("bytes", T.LongType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("exif", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -61,7 +64,123 @@ def sniff_media(payload: bytes) -> tuple[str, int | None, int | None]:
         return "gif", int(width), int(height)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav", None, None
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # bare TIFF: dimensions live in IFD0 tags 0x0100/0x0101
+        exif = parse_exif(payload)
+        w, h = exif.get("ImageWidth"), exif.get("ImageLength")
+        return (
+            "tiff",
+            int(w) if w and w.isdigit() else None,
+            int(h) if h and h.isdigit() else None,
+        )
     return "unknown", None, None
+
+
+# EXIF tag-id → name subset (reference metadata_extractor.py:168-175 uses
+# PIL's TAGS mapping and stringifies every value; this is the no-codec
+# equivalent — the IFD walk itself needs no image library)
+_EXIF_TAGS = {
+    0x0100: "ImageWidth",
+    0x0101: "ImageLength",
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0112: "Orientation",
+    0x0131: "Software",
+    0x0132: "DateTime",
+    0x829A: "ExposureTime",
+    0x8827: "ISOSpeedRatings",
+    0x9003: "DateTimeOriginal",
+    0x9004: "DateTimeDigitized",
+    0xA002: "PixelXDimension",
+    0xA003: "PixelYDimension",
+}
+_EXIF_IFD_POINTER = 0x8769
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _find_tiff(payload: bytes) -> bytes | None:
+    """Return the TIFF stream (EXIF container): bare TIFF files start with
+    it; JPEGs carry it in an APP1 segment tagged ``Exif\\0\\0``."""
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return payload
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    i = 2
+    while i + 4 <= len(payload) and payload[i] == 0xFF:
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(payload):
+            break
+        seg_len = _struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            return payload[i + 10 : i + 2 + seg_len]
+        if marker == 0xDA:  # start of scan — no EXIF before image data
+            break
+        i += 2 + seg_len
+    return None
+
+
+def _read_ifd(tiff: bytes, offset: int, bo: str, out: dict[str, str]) -> int | None:
+    """Walk one IFD, stringifying known tags into ``out`` (reference parity:
+    every EXIF value is str()-ed); returns the Exif sub-IFD offset if seen."""
+    if offset + 2 > len(tiff):
+        return None
+    (n_entries,) = _struct.unpack_from(bo + "H", tiff, offset)
+    sub_ifd = None
+    for k in range(n_entries):
+        base = offset + 2 + 12 * k
+        if base + 12 > len(tiff):
+            break
+        tag, typ, count = _struct.unpack_from(bo + "HHI", tiff, base)
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            voff = base + 8
+        else:
+            (voff,) = _struct.unpack_from(bo + "I", tiff, base + 8)
+        if voff + size > len(tiff):
+            continue
+        raw = tiff[voff : voff + size]
+        if typ == 2:  # ASCII, NUL-terminated
+            value: object = raw.split(b"\x00")[0].decode("ascii", errors="replace")
+        elif typ == 3:
+            vals = _struct.unpack(bo + f"{count}H", raw)
+            value = vals[0] if count == 1 else vals
+        elif typ in (4, 9):
+            vals = _struct.unpack(bo + f"{count}{'I' if typ == 4 else 'i'}", raw)
+            value = vals[0] if count == 1 else vals
+        elif typ in (5, 10):
+            code = "I" if typ == 5 else "i"
+            nums = _struct.unpack(bo + f"{2 * count}{code}", raw)
+            pairs = [f"{nums[2 * j]}/{nums[2 * j + 1]}" for j in range(count)]
+            value = pairs[0] if count == 1 else tuple(pairs)
+        else:
+            value = raw.hex()
+        if tag == _EXIF_IFD_POINTER:
+            sub_ifd = int(value) if isinstance(value, int) else None
+        elif tag in _EXIF_TAGS:
+            out[_EXIF_TAGS[tag]] = str(value)
+    return sub_ifd
+
+
+def parse_exif(payload: bytes) -> dict[str, str]:
+    """Pure-Python EXIF extraction: APP1/TIFF header → byte order → IFD0 →
+    Exif sub-IFD, stringified values (metadata_extractor.py:166-175 parity,
+    no codec needed for the IFD walk)."""
+    tiff = _find_tiff(payload)
+    out: dict[str, str] = {}
+    if tiff is None or len(tiff) < 8:
+        return out
+    bo = "<" if tiff[:2] == b"II" else ">"
+    (ifd0,) = _struct.unpack_from(bo + "I", tiff, 4)
+    try:
+        sub = _read_ifd(tiff, ifd0, bo, out)
+        if sub:
+            _read_ifd(tiff, sub, bo, out)
+    except (_struct.error, IndexError):
+        pass
+    return out
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
@@ -88,16 +207,29 @@ def probe_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     """binary column → media metadata struct (Arrow-batched, header-only)."""
     meta_schema = MEDIA_META_SCHEMA
 
+    out_cols = ["key"] + [f.name for f in meta_schema.fields]
+
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf["key"], pdf[media_col]):
                 b = bytes(payload)
                 fmt, width, height = sniff_media(b)
+                exif = parse_exif(b)
+                orient = exif.get("Orientation")
                 rows.append(
-                    {"key": key, "format": fmt, "width": width, "height": height, "bytes": len(b)}
+                    {
+                        "key": key,
+                        "format": fmt,
+                        "width": width,
+                        "height": height,
+                        "bytes": len(b),
+                        "orientation": int(orient) if orient and orient.isdigit() else None,
+                        "datetime": exif.get("DateTimeOriginal") or exif.get("DateTime"),
+                        "exif": exif or None,
+                    }
                 )
-            yield pd.DataFrame(rows, columns=["key", "format", "width", "height", "bytes"])
+            yield pd.DataFrame(rows, columns=out_cols)
 
     schema = T.StructType([T.StructField("key", T.StringType(), False)] + list(meta_schema.fields))
     return df.select(F.col("key"), F.col(media_col)).mapInPandas(probe, schema=schema)

@@ -25,7 +25,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class SnapshotTable:
@@ -92,6 +92,15 @@ class SnapshotTable:
         isolation, atomicity, and time-travel properties here are identical.
         """
         spark = df.sparkSession
+        # real MERGE INTO raises when a target row matches more than one
+        # source row; enforce source-key uniqueness instead of silently
+        # keeping duplicates in the snapshot
+        dup = df.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"merge source has duplicate values for key {key!r} (e.g. {dup[0][key]!r})"
+            )
+        source_rows = df.count()
         current = self.read(spark)
         merged = df if current is None else current.join(df.select(key), on=key, how="left_anti").unionByName(df)
 
@@ -114,7 +123,9 @@ class SnapshotTable:
             # copy-on-write: this snapshot's files REPLACE the parent's
             "files": files,
             "added_files": files,
-            "added_rows": row_count,
+            # the upsert delta (source rows), not the rewritten snapshot
+            # size — history() row accounting sums to the true ingest volume
+            "added_rows": source_rows,
             "total_rows": row_count,
         }
         tmp = os.path.join(self.snap_dir, f".{commit_id}.json.tmp")

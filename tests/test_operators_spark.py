@@ -353,3 +353,76 @@ def test_scan_path_emits_grid_figures_in_flow():
     texts_on = [[(e.get("content"), e.get("reading_order")) for e in p if "bbox" in e and e.get("type") == "text"] for p in on]
     texts_off = [[(e.get("content"), e.get("reading_order")) for e in p if "bbox" in e and e.get("type") == "text"] for p in off]
     assert texts_on == texts_off
+
+
+def _exif_tiff(bo: str = "<") -> bytes:
+    """Minimal TIFF stream: IFD0 with Make (ASCII, offset), Orientation
+    (SHORT, inline), DateTime (ASCII, offset), ImageWidth/Length (SHORT),
+    and an Exif sub-IFD holding DateTimeOriginal."""
+    import struct
+
+    def e(tag, typ, count, val4):
+        return struct.pack(bo + "HHI", tag, typ, count) + val4
+
+    make = b"Acme\x00"
+    dt = b"2024:01:02 03:04:05\x00"
+    dto = b"2023:12:31 23:59:58\x00"
+    # layout: header(8) IFD0(2+6*12+4) make dt subIFD(2+1*12+4) dto
+    ifd0_off = 8
+    ifd0_size = 2 + 6 * 12 + 4
+    make_off = ifd0_off + ifd0_size
+    dt_off = make_off + len(make)
+    sub_off = dt_off + len(dt)
+    sub_size = 2 + 1 * 12 + 4
+    dto_off = sub_off + sub_size
+    hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", ifd0_off)
+    ifd0 = struct.pack(bo + "H", 6)
+    ifd0 += e(0x0100, 3, 1, struct.pack(bo + "HH", 640, 0))      # ImageWidth
+    ifd0 += e(0x0101, 3, 1, struct.pack(bo + "HH", 480, 0))      # ImageLength
+    ifd0 += e(0x010F, 2, len(make), struct.pack(bo + "I", make_off))
+    ifd0 += e(0x0112, 3, 1, struct.pack(bo + "HH", 6, 0))        # Orientation
+    ifd0 += e(0x0132, 2, len(dt), struct.pack(bo + "I", dt_off))
+    ifd0 += e(0x8769, 4, 1, struct.pack(bo + "I", sub_off))      # Exif IFD
+    ifd0 += struct.pack(bo + "I", 0)
+    sub = struct.pack(bo + "H", 1)
+    sub += e(0x9003, 2, len(dto), struct.pack(bo + "I", dto_off))
+    sub += struct.pack(bo + "I", 0)
+    return hdr + ifd0 + make + dt + sub + dto
+
+
+def _jpeg_with_exif() -> bytes:
+    import struct
+
+    tiff = _exif_tiff("<")
+    app1 = b"Exif\x00\x00" + tiff
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1 + sof0 + b"\xff\xd9"
+
+
+def test_exif_ifd_parser(spark):
+    """Pure-Python EXIF: JPEG APP1 and bare TIFF, both byte orders, values
+    stringified like the reference's PIL TAGS loop
+    (metadata_extractor.py:166-175)."""
+    from smoldocling_ocr_spark.operators.multimodal import parse_exif, probe_media, sniff_media
+
+    jpg = _jpeg_with_exif()
+    exif = parse_exif(jpg)
+    assert exif["Make"] == "Acme"
+    assert exif["Orientation"] == "6"
+    assert exif["DateTime"] == "2024:01:02 03:04:05"
+    assert exif["DateTimeOriginal"] == "2023:12:31 23:59:58"
+
+    # big-endian bare TIFF parses identically, and sniff reads its dims
+    tiff_be = _exif_tiff(">")
+    assert parse_exif(tiff_be)["Orientation"] == "6"
+    assert sniff_media(tiff_be) == ("tiff", 640, 480)
+
+    # no EXIF / garbage → empty dict, never raises
+    assert parse_exif(b"\xff\xd8\xff\xdb" + b"\x00" * 40) == {}
+    assert parse_exif(b"garbage") == {}
+
+    meta = probe_media(spark.createDataFrame([Row(key="j", media=bytearray(jpg))])).collect()[0]
+    assert meta["format"] == "jpeg" and meta["width"] == 640 and meta["height"] == 480
+    assert meta["orientation"] == 6
+    assert meta["datetime"] == "2023:12:31 23:59:58"
+    assert meta["exif"]["Make"] == "Acme"

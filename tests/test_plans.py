@@ -173,3 +173,20 @@ def test_no_unpartitioned_windows_anywhere(spark):
         if "Window" in plan and "SinglePartition, ENSURE_REQUIREMENTS" in plan:
             offenders.append(name)
     assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
+def test_staged_layout_single_exchange_on_url_page(spark):
+    """The staged path (parse_elements → analyze_layout) must carry exactly
+    one Exchange, and its partitioning key must be (url, page) — the
+    grouped-map layout pass shuffles element rows once, never twice. The
+    fused pipeline avoids even this (element rows never shuffle); the
+    measured fused-vs-staged gap is recorded in BENCH/BASELINE.md."""
+    from smoldocling_ocr_spark.operators.stages import analyze_layout, parse_elements
+    from smoldocling_ocr_spark.sources.documents import read_cc_documents
+
+    docs = read_cc_documents(spark, SF_DIR)
+    plan = _plan(analyze_layout(parse_elements(docs)))
+    assert plan.count(") Exchange") == 1
+    exchange_line = next(l for l in plan.splitlines() if "Arguments: hashpartitioning" in l)
+    assert "url" in exchange_line and "page" in exchange_line
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan

@@ -80,3 +80,22 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     # time travel: the pre-merge snapshot is untouched
     old = {(r["url"], r["payload"]) for r in t.read(spark, snap1["snapshot_id"]).collect()}
     assert old == {("u1", "v1"), ("u2", "v1"), ("u3", "v1")}
+
+
+def test_merge_added_rows_delta_and_duplicate_key_raises(spark, tmp_path):
+    """added_rows records the upsert delta (source rows), not the rewritten
+    COW snapshot size, so summing history() row accounting gives true ingest
+    volume; and a source with duplicate keys raises like real MERGE INTO."""
+    import pytest
+    from smoldocling_ocr_spark.sources.tablestore import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([("u1", "v1"), ("u2", "v1")], ["url", "payload"]))
+
+    snap = t.merge(spark.createDataFrame([("u2", "v2")], ["url", "payload"]), key="url")
+    assert snap["added_rows"] == 1
+    assert snap["total_rows"] == 2
+
+    dup = spark.createDataFrame([("u9", "a"), ("u9", "b")], ["url", "payload"])
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup, key="url")
