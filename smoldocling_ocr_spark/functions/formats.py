@@ -114,3 +114,91 @@ def estimate_quality_score(markdown_text: str, method_used: str) -> int:
     if len(markdown_text) > 1000:
         score += 10
     return min(100, score)
+
+
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    '<Override PartName="/word/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.styles+xml"/>'
+    "</Types>"
+)
+
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+_DOCX_DOC_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+    "</Relationships>"
+)
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+_DOCX_STYLES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<w:styles xmlns:w="{_W}">'
+    + "".join(
+        f'<w:style w:type="paragraph" w:styleId="Heading{n}">'
+        f'<w:name w:val="heading {n}"/><w:basedOn w:val="Normal"/>'
+        f'<w:rPr><w:b/><w:sz w:val="{40 - 4 * n}"/></w:rPr></w:style>'
+        for n in (1, 2, 3)
+    )
+    + '<w:style w:type="paragraph" w:styleId="ListBullet"><w:name w:val="List Bullet"/></w:style>'
+    "</w:styles>"
+)
+
+
+def _docx_paragraph(text: str, style: str | None = None) -> str:
+    esc = _html.escape(text, quote=False)
+    ppr = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+    return f'<w:p>{ppr}<w:r><w:t xml:space="preserve">{esc}</w:t></w:r></w:p>'
+
+
+def markdown_to_docx(markdown_text: str) -> bytes:
+    """Markdown → .docx bytes, pure stdlib (zipfile + hand-built OOXML).
+
+    Mirrors the reference's python-docx conversion exactly (app.py:167-183):
+    line-based — '# '/'## '/'### ' → Heading1-3, '- '/'* ' → List Bullet,
+    blank lines skipped, everything else a plain paragraph. Deterministic
+    output (fixed zip timestamps) so the bytes are content-addressable."""
+    import io
+    import zipfile
+
+    body: list[str] = []
+    for line in markdown_text.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("# "):
+            body.append(_docx_paragraph(line[2:], "Heading1"))
+        elif line.startswith("## "):
+            body.append(_docx_paragraph(line[3:], "Heading2"))
+        elif line.startswith("### "):
+            body.append(_docx_paragraph(line[4:], "Heading3"))
+        elif line.startswith(("- ", "* ")):
+            body.append(_docx_paragraph(line[2:], "ListBullet"))
+        else:
+            body.append(_docx_paragraph(line))
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>' + "".join(body) + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("_rels/.rels", _DOCX_RELS),
+            ("word/_rels/document.xml.rels", _DOCX_DOC_RELS),
+            ("word/styles.xml", _DOCX_STYLES),
+            ("word/document.xml", document),
+        ):
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), data)
+    return buf.getvalue()

@@ -426,3 +426,35 @@ def test_exif_ifd_parser(spark):
     assert meta["orientation"] == 6
     assert meta["datetime"] == "2023:12:31 23:59:58"
     assert meta["exif"]["Make"] == "Acme"
+
+
+def test_markdown_to_docx_pure_stdlib():
+    """DOCX export (reference app.py:167-183 line-based conversion) as a
+    pure-stdlib OOXML zip: headings 1-3, List Bullet, plain paragraphs,
+    blanks skipped; deterministic bytes."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from smoldocling_ocr_spark.functions.formats import markdown_to_docx
+
+    md = "# Title\n\nBody text.\n\n## Section\n\n- item one\n* item two\n\n### Sub\nplain"
+    data = markdown_to_docx(md)
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    assert set(zf.namelist()) == {
+        "[Content_Types].xml", "_rels/.rels", "word/_rels/document.xml.rels",
+        "word/styles.xml", "word/document.xml",
+    }
+    W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    root = ET.fromstring(zf.read("word/document.xml"))
+    got = []
+    for p in root.findall(f".//{W}p"):
+        style = p.find(f"{W}pPr/{W}pStyle")
+        text = "".join(t.text or "" for t in p.findall(f".//{W}t"))
+        got.append((style.get(f"{W}val") if style is not None else None, text))
+    assert got == [
+        ("Heading1", "Title"), (None, "Body text."), ("Heading2", "Section"),
+        ("ListBullet", "item one"), ("ListBullet", "item two"),
+        ("Heading3", "Sub"), (None, "plain"),
+    ]
+    assert markdown_to_docx(md) == data  # deterministic zip
