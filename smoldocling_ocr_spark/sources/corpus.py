@@ -245,11 +245,13 @@ def _make_text_doc(rng: random.Random, lang: str) -> tuple[bytes, str]:
     return text.encode("utf-8"), text
 
 
-def generate_rows(n_docs: int, seed: int = SEED) -> list[dict[str, Any]]:
-    """n_docs deterministic rows of the documents table."""
+def generate_rows(n_docs: int, seed: int = SEED, start: int = 0) -> list[dict[str, Any]]:
+    """n_docs deterministic rows of the documents table, starting at doc
+    index ``start`` — per-doc seeded streams make any slice reproducible
+    independently of the rest of the corpus."""
     rows: list[dict[str, Any]] = []
     base_ts = dt.datetime(2024, 3, 1, 0, 0, 0)
-    for i in range(n_docs):
+    for i in range(start, start + n_docs):
         rng = random.Random(seed * 1_000_003 + i)  # per-doc stream → order-independent
         lang = _lang_for(rng)
         kind_roll = rng.random()

@@ -116,3 +116,47 @@ def test_noise_tagging_conserves_elements():
     for before, after in zip(pages, tagged):
         for b, a in zip(before, after):
             assert a["content"] == b["content"]
+
+
+def test_figure_components_match_reference_flood_fill():
+    """Run-length CCL must be indistinguishable from the reference's
+    stack-based flood fill (structure_engine.py:210-249): same components,
+    same bboxes, same emission order — on 300 random occupancy grids."""
+    import numpy as np
+
+    from smoldocling_ocr_spark.functions.figures import _empty_components
+
+    def flood_reference(occupancy):
+        grid_h, grid_w = occupancy.shape
+        visited = [[False] * grid_w for _ in range(grid_h)]
+        occ = occupancy.tolist()
+        out = []
+        for sy in range(grid_h):
+            for sx in range(grid_w):
+                if visited[sy][sx] or occ[sy][sx]:
+                    continue
+                stack = [(sy, sx)]
+                min_x = max_x = sx
+                min_y = max_y = sy
+                while stack:
+                    y, x = stack.pop()
+                    if y < 0 or y >= grid_h or x < 0 or x >= grid_w:
+                        continue
+                    if visited[y][x] or occ[y][x]:
+                        continue
+                    visited[y][x] = True
+                    min_x, max_x = min(min_x, x), max(max_x, x)
+                    min_y, max_y = min(min_y, y), max(max_y, y)
+                    stack.extend([(y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)])
+                out.append((min_x, min_y, max_x, max_y))
+        return out
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 20))
+        density = rng.uniform(0.1, 0.9)
+        occ = rng.random((h, w)) < density
+        got = _empty_components(~occ)
+        want = flood_reference(occ)
+        assert got == want, f"trial {trial}: {got} != {want}"
