@@ -183,24 +183,113 @@ def parse_exif(payload: bytes) -> dict[str, str]:
     return out
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode to an HxWx3 array.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel (8-bit)
 
-    STUB: real decoding needs an image codec (PIL/libjpeg) that is not in
-    this container. ``fake=True`` returns a deterministic byte-derived array
-    with the sniffed dimensions so downstream shape logic is testable.
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode (zlib is stdlib; only the scanline unfiltering
+    needs code): 8-bit gray/RGB/RGBA/gray+alpha, non-interlaced. Returns
+    HxWx3 uint8."""
+    import zlib
+
+    width, height = _struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG variant unsupported without a codec (depth={bit_depth}, "
+            f"color_type={color_type}, interlaced={bool(interlace)})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    # concatenate IDAT chunks
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            break
+        i += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        out[y] = line
+        prev = line
+    px = out.reshape(height, width, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray+alpha → drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA → drop alpha
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → HxWx3 uint8 (bottom-up rows, BGR)."""
+    (data_off,) = _struct.unpack_from("<I", payload, 10)
+    width, height = _struct.unpack_from("<ii", payload, 18)
+    (bpp,) = _struct.unpack_from("<H", payload, 28)
+    (compression,) = _struct.unpack_from("<I", payload, 30)
+    if bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, comp={compression})")
+    ch = bpp // 8
+    flip = height > 0
+    height = abs(height)
+    stride = (width * ch + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
+    px = rows.reshape(height, stride)[:, : width * ch].reshape(height, width, ch)
+    if flip:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy() if ch >= 3 else px  # BGR(A) → RGB
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode to an HxWx3 uint8 array.
+
+    REAL for PNG (pure-Python: stdlib zlib + scanline unfiltering) and
+    uncompressed BMP; JPEG/GIF still need a codec (PIL via --py-files in a
+    full deployment) and raise NotImplementedError. ``fake=True`` returns a
+    deterministic byte-derived array with the sniffed dimensions for
+    plumbing tests regardless of format.
     """
     fmt, width, height = sniff_media(payload)
-    if not fake:
-        raise NotImplementedError(
-            f"image decode for format={fmt!r} requires an image codec; "
-            "ship PIL via --py-files in a full deployment"
-        )
-    w = min(width or 8, 32)
-    h = min(height or 8, 32)
-    seed = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8).astype(np.float32)
-    grid = np.resize(seed, (h, w, 3))
-    return grid
+    if fake:
+        w = min(width or 8, 32)
+        h = min(height or 8, 32)
+        seed = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8).astype(np.float32)
+        return np.resize(seed, (h, w, 3))
+    if fmt == "png":
+        return _decode_png(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        f"image decode for format={fmt!r} requires an image codec; "
+        "ship PIL via --py-files in a full deployment"
+    )
 
 
 def probe_media(df: DataFrame, media_col: str = "media") -> DataFrame:

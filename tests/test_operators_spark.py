@@ -97,13 +97,100 @@ def test_multimodal_probe_and_features(spark):
     assert offsets[0] == 0 and offsets[-1] > 0
 
 
-def test_decode_image_stub():
+def test_decode_image_stub_and_fake():
     from smoldocling_ocr_spark.operators.multimodal import decode_image
 
+    # JPEG still needs a codec → declared stub
     with pytest.raises(NotImplementedError):
-        decode_image(_png_bytes(8, 8))
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
     fake = decode_image(_png_bytes(8, 8), fake=True)
     assert fake.shape == (8, 8, 3)
+
+
+def _encode_png(px, filters):
+    """Minimal PNG encoder for test fixtures: 8-bit RGB, one chosen filter
+    type per row (exercises every unfilter branch in the decoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y, f in zip(range(h), filters):
+        line = px[y].reshape(-1).astype(np.int16)
+        out = line.copy()
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                pred = 0
+            out[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([f]) + bytes(out.astype(np.uint8))
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_real():
+    """The PNG decode path is REAL (stdlib zlib + unfiltering): pixel-exact
+    round-trip through an independently-written encoder, one row per filter
+    type 0-4."""
+    import numpy as np
+
+    from smoldocling_ocr_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for filters in ([0, 1, 2, 3, 4], [4, 4, 4, 4, 4], [0, 0, 0, 0, 0]):
+        data = _encode_png(px, filters)
+        got = decode_image(data)
+        assert got.shape == (5, 7, 3)
+        assert np.array_equal(got, px), f"filters={filters}"
+
+
+def test_decode_bmp_real():
+    import numpy as np
+    import struct
+
+    from smoldocling_ocr_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = px[y, :, ::-1].tobytes()  # RGB → BGR
+        rows += line + b"\x00" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    got = decode_image(header + dib + rows)
+    assert np.array_equal(got, px)
 
 
 def test_occupancy_grid_figures():
