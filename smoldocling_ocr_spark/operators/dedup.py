@@ -194,8 +194,20 @@ def register(query) -> None:
         # (doc_id, shingle) rows: map-side partial agg reduces each partition
         # to one row per doc before the shuffle, instead of shuffling
         # k × |shingles| exploded rows (8× less shuffle volume at 100 TB).
+        # No distinct: min() is duplicate-invariant, so the signature over
+        # the shingle MULTISET equals the one over the set — skipping the
+        # (doc_id, shingle-string) dedup removes a whole string shuffle
+        # (the oracle keeps its DISTINCT; results are provably identical).
         docs = read_table(spark, sf_dir, "documents")
-        sh = _shingles(docs)
+        toks = F.split(F.lower(F.col("text")), " ")
+        n = 3
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+            ).alias("shingle"),
+        )
         mins = [
             F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
             for s in range(MINHASH_SEEDS)
