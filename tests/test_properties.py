@@ -160,3 +160,34 @@ def test_figure_components_match_reference_flood_fill():
         got = _empty_components(~occ)
         want = flood_reference(occ)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("<>/abcdiv spn!-=\"'&;#x41?")), max_size=400))
+def test_htmlstrip_never_raises_on_garbage(s):
+    """The DOM strip must survive arbitrary malformed markup (truncated tags,
+    stray entities, unbalanced quotes) — at 10^12 CC pages every broken page
+    WILL occur; the pipeline records parse failures, it never crashes."""
+    from smoldocling_ocr_spark.functions.htmlstrip import extract_elements
+
+    elements = extract_elements("<html><body>" + s)
+    for e in elements:
+        assert isinstance(e.get("content", ""), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300), st.text(max_size=120))
+def test_extract_document_total_on_arbitrary_payloads(payload, text):
+    """extract_document is a total function over (payload, text): any byte
+    string routes to one of the three methods and yields a valid markdown
+    string plus every metric field (parse failures are recorded upstream by
+    the UDF wrapper; the core itself must not raise on arbitrary input)."""
+    import datetime as dt
+
+    from smoldocling_ocr_spark.functions.extract import extract_document
+
+    res = extract_document("https://x/fuzz", dt.datetime(2024, 1, 1), payload, text)
+    assert isinstance(res["markdown"], str) and res["markdown"]
+    assert res["method"] in ("layout_ocr", "html_dom", "text_layer")
+    assert res["pages"] >= 1
+    assert 0.0 <= res["quality_score"] <= 1.0
