@@ -157,3 +157,52 @@ class SnapshotTable:
             {k: s[k] for k in ("snapshot_id", "parent_id", "sequence", "operation", "added_rows", "total_rows")}
             for s in self._snapshots()
         ]
+
+    def compact(self, spark: SparkSession, target_partitions: int = 4) -> dict | None:
+        """Small-files maintenance (Iceberg ``rewrite_data_files`` analog):
+        rewrite the current snapshot's file set into ``target_partitions``
+        files as a new snapshot. Content-identical, time travel to every
+        pre-compaction snapshot still works (old files are referenced by old
+        manifests and never deleted — expiry is a separate policy decision).
+
+        At 10^12 docs an append-per-batch job accretes millions of small
+        parquet files; scan task count tracks file count, so periodic
+        compaction is what keeps read parallelism sized to data, not to
+        commit history.
+        """
+        current = self.read(spark)
+        if current is None:
+            return None
+        compacted = current.repartition(target_partitions)
+
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.data_dir, f"commit-{commit_id}")
+        compacted.write.mode("error").parquet(commit_dir)
+        files = sorted(
+            os.path.join(commit_dir, fn)
+            for fn in os.listdir(commit_dir)
+            if fn.endswith(".parquet")
+        )
+        row_count = spark.read.parquet(commit_dir).count()
+        parent = self.current_snapshot()
+        assert parent is not None
+        if row_count != parent["total_rows"]:
+            raise RuntimeError(
+                f"compaction row drift: {row_count} != {parent['total_rows']}"
+            )
+        manifest = {
+            "snapshot_id": commit_id,
+            "parent_id": parent["snapshot_id"],
+            "sequence": parent["sequence"] + 1,
+            "operation": "compact",
+            "timestamp_ms": int(time.time() * 1000),
+            "files": files,
+            "added_files": files,
+            "added_rows": 0,  # maintenance: no logical rows added
+            "total_rows": row_count,
+        }
+        tmp = os.path.join(self.snap_dir, f".{commit_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{manifest['sequence']:012d}-{commit_id}.json"))
+        return manifest

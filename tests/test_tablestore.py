@@ -99,3 +99,29 @@ def test_merge_added_rows_delta_and_duplicate_key_raises(spark, tmp_path):
     dup = spark.createDataFrame([("u9", "a"), ("u9", "b")], ["url", "payload"])
     with pytest.raises(ValueError, match="duplicate"):
         t.merge(dup, key="url")
+
+
+def test_compaction_preserves_content_and_time_travel(spark, tmp_path):
+    """compact() rewrites the live file set into few files as a NEW snapshot:
+    content identical, added_rows 0, and time travel to pre-compaction
+    snapshots still resolves their original files."""
+    from smoldocling_ocr_spark.sources.tablestore import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for batch in range(4):  # 4 appends × multi-file commits → many small files
+        t.append(
+            spark.range(batch * 10, batch * 10 + 10)
+            .repartition(4)
+            .selectExpr("cast(id as string) AS url", "id AS v")
+        )
+    pre = t.current_snapshot()
+    assert len(pre["files"]) >= 8
+
+    snap = t.compact(spark, target_partitions=2)
+    assert snap["operation"] == "compact" and snap["added_rows"] == 0
+    assert len(snap["files"]) <= 2
+    got = {(r["url"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(str(i), i) for i in range(40)}
+    # time travel to the pre-compaction snapshot unaffected
+    old = t.read(spark, pre["snapshot_id"])
+    assert old.count() == 40 and len(pre["files"]) >= 8
