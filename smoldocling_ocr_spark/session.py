@@ -52,3 +52,41 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(executors: int = 1000, executor_cores: int = 8) -> dict[str, str]:
+    """The spark-submit conf this job ships with on a real cluster —
+    deployment profile as code, sized for the 100 TB / 10^12-doc target.
+
+    Rationale per knob:
+    * shuffle partitions ≈ 2× total cores so AQE coalesces down, never up
+    * 64 MB scan splits: html-heavy rows make row-count per split the memory
+      unit, not bytes; smaller splits bound Arrow batch memory per task
+    * maxRecordsPerBatch matches session default (binary payloads are large)
+    * speculation on: a straggling host re-runs tail extraction tasks — the
+      fused stage is idempotent per partition
+    * kryo + 128m buffer: element structs and markdown strings serialize hot
+    * dynamicAllocation off: throughput jobs want stable executor count for
+      the N vs 4N scaling contract to mean anything
+    """
+    total_cores = executors * executor_cores
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": "24g",
+        "spark.executor.memoryOverhead": "6g",  # Arrow + python workers
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        "spark.sql.files.maxPartitionBytes": "64m",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+        "spark.speculation": "true",
+        "spark.speculation.quantile": "0.95",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.kryoserializer.buffer.max": "128m",
+        "spark.dynamicAllocation.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }

@@ -545,3 +545,28 @@ def test_markdown_to_docx_pure_stdlib():
         ("Heading3", "Sub"), (None, "plain"),
     ]
     assert markdown_to_docx(md) == data  # deterministic zip
+
+
+def test_register_views_sql_surface(spark):
+    """Raw spark.sql() over every registered table — the SQL entry point a
+    reference user expects alongside the DataFrame API."""
+    from smoldocling_ocr_spark.sources.documents import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "documents" in names and "cc_documents" in names
+    row = spark.sql(
+        "SELECT count(*) AS docs, count(DISTINCT lang) AS langs FROM documents"
+    ).collect()[0]
+    assert row["docs"] > 0 and row["langs"] >= 1
+    assert spark.sql("SELECT count(*) AS n FROM cc_documents").collect()[0]["n"] == 60
+
+
+def test_cluster_conf_profile():
+    from smoldocling_ocr_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, executor_cores=8)
+    assert conf["spark.sql.shuffle.partitions"] == str(2 * 1000 * 8)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.speculation"] == "true"
+    # every value must be a string (spark-submit --conf k=v form)
+    assert all(isinstance(v, str) for v in conf.values())

@@ -221,3 +221,44 @@ def test_bucketed_colocated_anti_join_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_aqe_skew_join_splits_hot_domain(spark):
+    """The hot-domain skew story is executable, not aspirational: with the
+    skew thresholds scaled down to test-size data, AQE splits the hot
+    domain's shuffle partition and the final plan marks the join skew=true.
+    At production thresholds (256MB) the same mechanism fires on real
+    hot-domain partitions; session.py enables skewJoin globally."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # 70% of rows share one domain — the 30%-hot-domain synthetic skew
+        # from the corpus, exaggerated
+        skewed = docs.withColumn(
+            "domain",
+            F.when(F.rand(7) < 0.7, "hot.example.com").otherwise(
+                F.concat(F.lit("d"), (F.rand(9) * 50).cast("int"))
+            ),
+        ).select("domain", "text")
+        dim = spark.createDataFrame(
+            [("hot.example.com",)] + [(f"d{i}",) for i in range(50)], ["domain"]
+        ).withColumn("weight", F.length("domain"))
+        joined = skewed.join(dim, "domain").agg(
+            F.sum(F.length("text") + F.col("weight")).alias("s")
+        )
+        assert joined.collect()[0]["s"] > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
