@@ -95,33 +95,53 @@ def _empty_components(empty: np.ndarray) -> list[tuple[int, int, int, int]]:
         ba[3] = max(ba[3], bb[3])
         return ra
 
+    # ALL runs of the whole grid in one vectorized pass: pad each row with a
+    # False column on both sides (runs can't span rows), flatten, and read
+    # run starts/ends off the +1/-1 transitions. The Python loop below then
+    # touches only actual runs (a handful per page), not grid rows.
+    h, w = empty.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = empty
+    d = np.diff(padded.ravel())
+    starts = np.flatnonzero(d == 1) + 1  # flat index of each run's first cell
+    ends = np.flatnonzero(d == -1)  # flat index of each run's last cell
+    span = w + 2
+    run_y = (starts // span).tolist()
+    run_x0 = (starts % span - 1).tolist()
+    run_x1 = (ends % span - 1).tolist()
+
     prev_runs: list[tuple[int, int, int]] = []  # (x0, x1_incl, label)
-    for y in range(empty.shape[0]):
-        idx = np.flatnonzero(empty[y])
-        runs: list[tuple[int, int, int]] = []
-        if idx.size:
-            breaks = np.flatnonzero(np.diff(idx) > 1)
-            starts = np.concatenate(([0], breaks + 1))
-            ends = np.concatenate((breaks, [idx.size - 1]))
-            for s, e in zip(starts, ends):
-                x0, x1 = int(idx[s]), int(idx[e])
-                label = -1
-                for px0, px1, plbl in prev_runs:
-                    if px0 <= x1 and x0 <= px1:  # vertical adjacency (4-conn)
-                        label = plbl if label == -1 else union(label, plbl)
-                if label == -1:
-                    label = len(parent)
-                    parent.append(label)
-                    boxes.append([x0, y, x1, y])
-                    first.append((y, x0))
-                else:
-                    label = find(label)
-                    b = boxes[label]
-                    b[0] = min(b[0], x0)
-                    b[2] = max(b[2], x1)
-                    b[3] = max(b[3], y)
-                runs.append((x0, x1, label))
-        prev_runs = runs
+    prev_y = -2
+    runs: list[tuple[int, int, int]] = []
+    i = 0
+    n_runs = len(run_y)
+    while i < n_runs:
+        y = run_y[i]
+        if y != prev_y:
+            prev_runs = runs if y == prev_y + 1 else []
+            runs = []
+            prev_y = y
+        x0, x1 = run_x0[i], run_x1[i]
+        label = -1
+        # prev_runs is x-sorted; only overlapping intervals can touch
+        for px0, px1, plbl in prev_runs:
+            if px0 > x1:
+                break
+            if x0 <= px1:  # vertical adjacency (4-conn)
+                label = plbl if label == -1 else union(label, plbl)
+        if label == -1:
+            label = len(parent)
+            parent.append(label)
+            boxes.append([x0, y, x1, y])
+            first.append((y, x0))
+        else:
+            label = find(label)
+            b = boxes[label]
+            b[0] = min(b[0], x0)
+            b[2] = max(b[2], x1)
+            b[3] = max(b[3], y)
+        runs.append((x0, x1, label))
+        i += 1
 
     roots = sorted({find(i) for i in range(len(parent))}, key=lambda r: first[r])
     return [(boxes[r][0], boxes[r][1], boxes[r][2], boxes[r][3]) for r in roots]
