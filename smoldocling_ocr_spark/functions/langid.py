@@ -77,6 +77,11 @@ def detect_script(text: str) -> tuple[str, float]:
     letters = "".join(_LETTER_RE.findall(text))
     if not letters:
         return "unknown", 0.0
+    # second fast path: pages whose only non-ASCII chars are punctuation
+    # (unicode dashes/quotes are everywhere in web text) still have all-
+    # ASCII LETTERS — histogram is {latin: n}, conf 1.0, same as full scan
+    if letters.isascii():
+        return "latin", 1.0
     counts: Counter[str] = Counter()
     for script, pattern in _SCRIPT_RES.items():
         n = len(pattern.findall(letters))

@@ -62,6 +62,8 @@ ARTIFACT_RES = [
 
 _CONSONANT_RUN = re.compile(r"[bcdfghjklmnpqrstvwxz]{5,}", re.IGNORECASE)
 _CHAR_REPEAT = re.compile(r"(.)\1{4,}")
+# one scan for either garble signal (existence check — OR of the two)
+_GARBLE_RUN_ANY = re.compile(r"(?i:[bcdfghjklmnpqrstvwxz]{5,})|(.)\1{4,}")
 # C-speed count of chars that are neither alphanumeric nor whitespace
 _SPECIAL_CHAR = re.compile(r"[^\w\s]|_")
 
@@ -93,12 +95,10 @@ def is_garbled(text: str) -> bool:
     """High special-char ratio, 5+ consecutive consonants, or char repeated 5+."""
     if len(text) < 3:
         return False
-    specials = len(_SPECIAL_CHAR.findall(text))
+    specials = len(text) - len(_SPECIAL_CHAR.sub("", text))
     if specials / len(text) > 0.5:
         return True
-    if _CONSONANT_RUN.search(text):
-        return True
-    return bool(_CHAR_REPEAT.search(text))
+    return _GARBLE_RUN_ANY.search(text) is not None
 
 
 def is_artifact(content: str, confidence: float = 1.0) -> bool:

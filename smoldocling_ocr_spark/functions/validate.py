@@ -25,6 +25,15 @@ HALLUCINATION_PATTERNS = (
 HALLUCINATION_RES = [re.compile("(?i)" + p) for p in HALLUCINATION_PATTERNS]
 # single alternation — one C-speed scan per line instead of eight
 _HALLUCINATION_ANY = re.compile("(?i)" + "|".join(f"(?:{p})" for p in HALLUCINATION_PATTERNS))
+# literal pre-filter: every _HALLUCINATION_ANY match necessarily contains one
+# of these lowercase substrings, and str.find is several times faster than
+# the 8-branch case-insensitive alternation on the (overwhelmingly common)
+# clean document
+_HALLUCINATION_LITERALS = (
+    "based on", "as shown", "as seen", "as visible", "it appears",
+    "it seems", "i can", "the image", "the document", "looking at",
+    "from what", "this appears", "this seems",
+)
 
 # extended role set (openrouter_validator.py:110-114: core roles + noise roles)
 VALID_ROLES = frozenset(
@@ -107,8 +116,13 @@ def validate_markdown(text: str) -> dict[str, Any]:
 
     # --- hallucinations + format (one pass over the lines) ---
     # whole-text pre-check: almost no document trips the phrase bank, so one
-    # C-speed scan replaces a per-line search in the common case
-    any_hallucination = _HALLUCINATION_ANY.search(text) is not None
+    # C-speed scan replaces a per-line search in the common case; the
+    # literal pre-filter skips even that scan unless a candidate substring
+    # exists (sound: a regex match implies one of the literals)
+    lowered = text.lower()
+    any_hallucination = any(
+        lit in lowered for lit in _HALLUCINATION_LITERALS
+    ) and _HALLUCINATION_ANY.search(text) is not None
     bracket_reported = False
     bracket_issue_pos = None
     for i, line in enumerate(text.split("\n"), 1):
