@@ -42,6 +42,19 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
             for p in doc.get("pages", [])
         ]
         return pages, dims, doc.get("meta", {}), "layout_ocr"
+    if payload[:5] == b"%PDF-":
+        # digital-PDF route (structure_engine.py:67-110 sends text-layer
+        # PDFs through pymupdf4llm instead of OCR): the pure-Python content-
+        # stream parser yields positioned line elements, so the same layout
+        # pass applies; scanned/encrypted PDFs raise → text-column fallback,
+        # mirroring the reference's digital-vs-scan router (:914-928)
+        from . import pdftext
+
+        try:
+            pages, dims = pdftext.extract_pdf_pages(payload)
+            return pages, dims, {}, "pdf_text"
+        except Exception:
+            pass
     if _looks_like_html(payload):
         elements = html_extract_elements(payload.decode("utf-8", errors="replace"))
         # acceptance gate (structure_engine.py:914-928 router analog): if the
@@ -121,7 +134,7 @@ def extract_document(
     pages, dims, doc_meta, method = decode_payload(payload, text_fallback)
     heights = [h for _, h in dims]
 
-    if method == "layout_ocr":
+    if method in ("layout_ocr", "pdf_text"):
         pages, n_columns = run_layout_analysis(pages, page_dims=dims)
     else:
         n_columns = 1
@@ -162,9 +175,10 @@ def extract_document(
     meta["has_figures"] = structure["has_figures"]
 
     # The enhanced render path applies schema enforcement directly;
-    # normalize_markdown belongs to the digital/text path only
-    # (structure_engine.py:79 vs enhanced_pipeline.py:136-174).
-    if method == "text_layer":
+    # normalize_markdown belongs to the digital/text paths only
+    # (structure_engine.py:79 normalizes the pymupdf4llm digital output;
+    # enhanced_pipeline.py:136-174 handles the OCR path).
+    if method in ("text_layer", "pdf_text"):
         body = textnorm.normalize_markdown(body)
     markdown = validate_and_enforce(body, meta)
 

@@ -1,0 +1,306 @@
+"""Pure-Python PDF text-layer extraction (the digital-PDF route).
+
+Reference digital route: structure_engine.py:67-110 sends digitally-
+generated PDFs through pymupdf4llm (text layer → markdown) instead of OCR.
+No PDF library ships in this sandbox, but the digital case needs no codec:
+content streams are FlateDecode (stdlib zlib) and the text operators are a
+small state machine (BT/ET, Tf, Td/TD/Tm/T*, Tj/TJ/'/"). This parser
+handles classic-xref, non-encrypted PDFs with uncompressed page trees — the
+common digitally-generated shape. Anything else (scanned, encrypted,
+object-stream xref) raises and the caller falls back to the text column,
+mirroring the reference's digital-vs-scan router (structure_engine.py:
+914-928).
+
+Output is positioned text spans grouped into line elements with bboxes, so
+the SAME downstream pipeline (column detection, XY-cut, roles, figures,
+noise, captions) applies — the engine treats a digital PDF exactly like a
+pre-OCR'd layout payload, as the north rule's "ordered reading-flow spans"
+requires.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any
+
+DEFAULT_MEDIABOX = (612.0, 792.0)  # US letter
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def is_pdf(payload: bytes) -> bool:
+    return payload[:5] == b"%PDF-"
+
+
+def _objects(payload: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    data = m.group(1)
+    if b"/FlateDecode" in body[: m.start()]:
+        data = zlib.decompress(data)
+    return data
+
+
+def _page_specs(objects: dict[int, bytes]) -> list[tuple[list[int], tuple[float, float]]]:
+    """Per page (in object order): (content object numbers, (width, height))."""
+    pages = []
+    for num in sorted(objects):
+        body = objects[num]
+        if not _PAGE_TYPE_RE.search(body):
+            continue
+        refs: list[int] = []
+        arr = _CONTENTS_ARR_RE.search(body)
+        if arr:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))]
+        else:
+            ref = _CONTENTS_REF_RE.search(body)
+            if ref:
+                refs = [int(ref.group(1))]
+        mb = _MEDIABOX_RE.search(body)
+        if mb:
+            x0, y0, x1, y1 = (float(mb.group(i)) for i in (1, 2, 3, 4))
+            dims = (x1 - x0, y1 - y0)
+        else:
+            dims = DEFAULT_MEDIABOX
+        pages.append((refs, dims))
+    return pages
+
+
+def _literal_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ( ... ) literal starting at the '(' — returns (text, next_i)."""
+    out: list[str] = []
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if 0x30 <= e <= 0x37:  # octal \ddd (1-3 digits)
+                code = 0
+                for _ in range(3):
+                    if i < n and 0x30 <= data[i] <= 0x37:
+                        code = code * 8 + (data[i] - 0x30)
+                        i += 1
+                    else:
+                        break
+                out.append(chr(code))
+                continue
+            if e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                continue
+            out.append(_ESCAPES.get(e, chr(e)))
+            i += 1
+            continue
+        if c == 0x28:  # (
+            depth += 1
+            out.append("(")
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(")")
+        else:
+            out.append(chr(c))
+        i += 1
+    return "".join(out), i
+
+
+def _hex_string(data: bytes, i: int) -> tuple[str, int]:
+    end = data.index(b">", i)
+    hexdigits = re.sub(rb"\s", b"", data[i + 1 : end])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"), end + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _parse_content(data: bytes) -> list[tuple[float, float, float, str]]:
+    """Content-stream text state machine → [(x, y, font_size, text)] shows.
+
+    Tracks the text matrix translation (Tm e/f, Td/TD deltas, T* leading)
+    and the Tf size scaled by Tm's d component. Kerning numbers inside TJ
+    arrays are ignored (they move x sub-glyph; line grouping is y-based).
+    """
+    shows: list[tuple[float, float, float, str]] = []
+    size = 12.0
+    scale = 1.0
+    lx = ly = 0.0  # line-start translation
+    x = y = 0.0
+    leading = 0.0
+    stack: list[Any] = []
+    in_array: list[Any] | None = None
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\x00":
+            i += 1
+            continue
+        if c == 0x25:  # % comment
+            j = data.find(b"\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if c == 0x28:  # literal string
+            s, i = _literal_string(data, i)
+            (in_array if in_array is not None else stack).append(s)
+            continue
+        if c == 0x3C:  # < — hex string or << dict
+            if i + 1 < n and data[i + 1] == 0x3C:
+                i += 2
+                continue
+            s, i = _hex_string(data, i)
+            (in_array if in_array is not None else stack).append(s)
+            continue
+        if c == 0x5B:  # [
+            in_array = []
+            i += 1
+            continue
+        if c == 0x5D:  # ]
+            stack.append(in_array if in_array is not None else [])
+            in_array = None
+            i += 1
+            continue
+        if c == 0x2F:  # /Name
+            m = re.compile(rb"/[^\s/\[\]()<>{}%]*").match(data, i)
+            stack.append(m.group(0).decode("latin-1"))
+            i = m.end()
+            continue
+        m = _NUM_RE.match(data, i)
+        if m:
+            val = float(m.group(0))
+            (in_array if in_array is not None else stack).append(val)
+            i = m.end()
+            continue
+        m = _OP_RE.match(data, i)
+        if not m:
+            i += 1
+            continue
+        op = m.group(0)
+        i = m.end()
+
+        def _nums(k: int) -> list[float]:
+            vals = [v for v in stack if isinstance(v, float)][-k:]
+            return vals if len(vals) == k else [0.0] * k
+
+        if op == b"BT":
+            lx = ly = x = y = 0.0
+            scale = 1.0
+        elif op == b"Tf":
+            size = _nums(1)[0]
+        elif op == b"TL":
+            leading = _nums(1)[0]
+        elif op in (b"Td", b"TD"):
+            tx, ty = _nums(2)
+            if op == b"TD":
+                leading = -ty
+            lx, ly = lx + tx, ly + ty
+            x, y = lx, ly
+        elif op == b"Tm":
+            a, b_, c_, d, e, f = _nums(6)
+            scale = d if d else 1.0
+            lx, ly = e, f
+            x, y = e, f
+        elif op == b"T*":
+            ly -= leading
+            x, y = lx, ly
+        elif op in (b"Tj", b"'", b'"'):
+            if op != b"Tj":  # ' and " imply T*
+                ly -= leading
+                x, y = lx, ly
+            strs = [v for v in stack if isinstance(v, str) and not v.startswith("/")]
+            if strs:
+                text = strs[-1]
+                shows.append((x, y, abs(size * scale), text))
+                x += 0.5 * abs(size * scale) * len(text)
+        elif op == b"TJ":
+            arrs = [v for v in stack if isinstance(v, list)]
+            if arrs:
+                text = "".join(v for v in arrs[-1] if isinstance(v, str))
+                if text:
+                    shows.append((x, y, abs(size * scale), text))
+                    x += 0.5 * abs(size * scale) * len(text)
+        stack.clear()
+    return shows
+
+
+def extract_pdf_pages(payload: bytes) -> tuple[list[list[dict[str, Any]]], list[tuple[float, float]]]:
+    """PDF bytes → (pages of line elements with bboxes, page dims).
+
+    Shows are grouped into lines by y proximity (<2pt), y is flipped to the
+    top-left origin the rest of the pipeline uses, and each line becomes a
+    text element shaped exactly like a layout-payload element so column
+    detection / XY-cut / figures / noise / captions all apply unchanged.
+    """
+    if b"/Encrypt" in payload:
+        raise ValueError("encrypted PDF — no text layer accessible")
+    objects = _objects(payload)
+    specs = _page_specs(objects)
+    if not specs:
+        raise ValueError("no page objects found (object-stream xref?)")
+    pages: list[list[dict[str, Any]]] = []
+    dims: list[tuple[float, float]] = []
+    for refs, (width, height) in specs:
+        shows: list[tuple[float, float, float, str]] = []
+        for ref in refs:
+            body = objects.get(ref)
+            if body is None:
+                continue
+            data = _stream_data(body)
+            if data:
+                shows.extend(_parse_content(data))
+        # group into lines by y (top-origin), preserving show order within
+        lines: dict[float, list[tuple[float, float, float, str]]] = {}
+        for sx, sy, ssize, stext in shows:
+            key = next((k for k in lines if abs(k - sy) < 2.0), None)
+            lines.setdefault(sy if key is None else key, []).append((sx, sy, ssize, stext))
+        elements: list[dict[str, Any]] = []
+        for ly_, parts in lines.items():
+            parts.sort(key=lambda p: p[0])
+            content = " ".join(p[3].strip() for p in parts if p[3].strip())
+            if not content:
+                continue
+            fsize = max(p[2] for p in parts)
+            x0 = parts[0][0]
+            x1 = parts[-1][0] + 0.5 * fsize * len(parts[-1][3])
+            top = height - ly_ - fsize
+            elements.append(
+                {
+                    "type": "text",
+                    "content": content,
+                    "y": top,
+                    "bbox": (x0, top, x1, top + fsize),
+                    "font_size": fsize,
+                    "confidence": 1.0,
+                }
+            )
+        elements.sort(key=lambda e: e["y"])
+        pages.append(elements)
+        dims.append((width, height))
+    if not any(pages):
+        raise ValueError("PDF has no extractable text layer (scanned?)")
+    return pages, dims

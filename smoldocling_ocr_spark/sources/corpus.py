@@ -237,6 +237,55 @@ def _make_layout_doc(rng: random.Random, doc_idx: int, lang: str) -> tuple[bytes
     return payload, " ".join(texts)
 
 
+def _make_pdf_doc(rng: random.Random, doc_idx: int, lang: str) -> tuple[bytes, str]:
+    """Deterministic digital-PDF payload (north_star: 'parses embedded
+    PDF/layout bytes into ordered reading-flow spans'): 1-2 pages of
+    positioned text drawn with Tf/Td/TL/T*/Tj operators in Flate-compressed
+    content streams — the classic digitally-generated shape
+    functions/pdftext.py handles."""
+    import zlib
+
+    n_pages = rng.randint(1, 2)
+    objects: list[bytes] = []
+    page_obj_nums = []
+    next_obj = 3
+    texts: list[str] = []
+    for page_no in range(1, n_pages + 1):
+        ops = [b"BT /F1 16 Tf 72 720 Td 14 TL"]
+        title = f"Document {doc_idx % 97} Section {page_no}"
+        texts.append(title)
+        ops.append(b"(" + title.encode("latin-1") + b") Tj")
+        ops.append(b"/F1 11 Tf 72 690 Td 13 TL")
+        for j in range(rng.randint(3, 6)):
+            line = _sentence(rng, rng.randint(6, 10))
+            if lang != "en" and page_no == 1 and j == 0:
+                line = "Latin transliteration sample line."  # keep latin-1 safe
+            texts.append(line)
+            safe = line.encode("latin-1", errors="replace")
+            ops.append(b"(" + safe.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)") + b") Tj T*")
+        ops.append(b"ET")
+        data = zlib.compress(b"\n".join(ops))
+        content_num = next_obj
+        objects.append(
+            b"%d 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n" % (content_num, len(data))
+            + data
+            + b"endstream\nendobj\n"
+        )
+        page_num = next_obj + 1
+        objects.append(
+            b"%d 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents %d 0 R >>\nendobj\n"
+            % (page_num, content_num)
+        )
+        page_obj_nums.append(page_num)
+        next_obj += 2
+    kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
+    header = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [" + kids + b"] /Count %d >>\nendobj\n" % n_pages
+    )
+    return header + b"".join(objects) + b"%%EOF", "\n\n".join(texts)
+
+
 def _make_text_doc(rng: random.Random, lang: str) -> tuple[bytes, str]:
     paras = [_paragraph(rng, rng.randint(2, 4)) for _ in range(rng.randint(3, 6))]
     if lang != "en":
@@ -255,12 +304,15 @@ def generate_rows(n_docs: int, seed: int = SEED, start: int = 0) -> list[dict[st
         rng = random.Random(seed * 1_000_003 + i)  # per-doc stream → order-independent
         lang = _lang_for(rng)
         kind_roll = rng.random()
-        if kind_roll < 0.45:
+        if kind_roll < 0.40:
             payload, text = _make_html_doc(rng, i, lang)
             path_kind = "html"
-        elif kind_roll < 0.90:
+        elif kind_roll < 0.82:
             payload, text = _make_layout_doc(rng, i, lang)
             path_kind = "layout"
+        elif kind_roll < 0.92:
+            payload, text = _make_pdf_doc(rng, i, lang)
+            path_kind = "pdf"
         else:
             payload, text = _make_text_doc(rng, lang)
             path_kind = "text"

@@ -1,0 +1,130 @@
+"""Pure-Python PDF text-layer extraction (functions/pdftext.py).
+
+Fixtures are hand-built PDFs (classic xref-style object syntax) so the test
+is independent of any PDF library: literal strings with escapes and octal,
+hex strings, Td/TD/Tm/T* positioning, TJ kerning arrays, ' line-shows,
+FlateDecode and raw content streams, multi-page with distinct MediaBoxes.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from smoldocling_ocr_spark.functions.pdftext import extract_pdf_pages, is_pdf
+
+
+def _pdf(objects: dict[int, bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in objects.items():
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    out += b"%%EOF"
+    return bytes(out)
+
+
+def _content_obj(ops: bytes, flate: bool = False) -> bytes:
+    if flate:
+        data = zlib.compress(ops)
+        return b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data) + data + b"endstream"
+    return b"<< /Length %d >>\nstream\n" % len(ops) + ops + b"endstream"
+
+
+PAGE1_OPS = (
+    b"BT /F1 18 Tf 72 720 Td (Annual Report) Tj ET\n"
+    b"BT /F1 11 Tf 72 690 Td (First paragraph line one.) Tj ET\n"
+    b"BT /F1 11 Tf 1 0 0 1 72 676 Tm [(Kerned ) -120 (second) -80 ( line.)] TJ ET\n"
+    b"BT /F1 11 Tf 72 662 Td 14 TL (Escaped \\(parens\\) and \\101 octal) Tj T* "
+    b"(After T-star line) Tj ET\n"
+)
+PAGE2_OPS = (
+    b"BT /F1 11 Tf 60 500 Td 13 TL (Page two opens here.) Tj\n"
+    b"(Apostrophe-op line follows.) '\n"
+    b"<506167652074776f2068657820737472696e67> ' ET\n"
+)
+
+
+def _two_page_pdf() -> bytes:
+    return _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+            4: _content_obj(PAGE1_OPS, flate=True),
+            5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] /Contents [6 0 R] >>",
+            6: _content_obj(PAGE2_OPS, flate=False),
+        }
+    )
+
+
+def test_pdf_two_pages_positions_and_strings():
+    payload = _two_page_pdf()
+    assert is_pdf(payload)
+    pages, dims = extract_pdf_pages(payload)
+    assert len(pages) == 2
+    assert dims == [(612.0, 792.0), (595.0, 842.0)]
+
+    p1 = [e["content"] for e in pages[0]]
+    assert p1[0] == "Annual Report"  # highest on page renders first
+    assert "First paragraph line one." in p1
+    assert "Kerned second line." in p1  # TJ kerning numbers dropped
+    assert "Escaped (parens) and A octal" in p1  # \( \) and \101 == 'A'
+    assert "After T-star line" in p1  # T* advanced by TL leading
+    # y order matches PDF top-down layout
+    assert p1.index("Annual Report") < p1.index("After T-star line")
+
+    p2 = [e["content"] for e in pages[1]]
+    assert "Page two opens here." in p2
+    assert "Apostrophe-op line follows." in p2  # ' implies T*
+    assert "Page two hex string" in p2  # hex string decoding
+    # every element carries a bbox and top-origin y within the page
+    for e in pages[0] + pages[1]:
+        assert e["bbox"][1] == e["y"] and 0 <= e["y"] <= 842
+        assert e["font_size"] > 0
+
+
+def test_pdf_heading_classified_through_pipeline():
+    """The digital-PDF route flows through the full extraction pipeline:
+    method pdf_text, the 18pt title classified as a heading, page markers
+    for both pages, normalize_markdown applied (reference
+    structure_engine.py:79 normalizes the digital output)."""
+    import datetime as dt
+
+    from smoldocling_ocr_spark.functions.extract import extract_document
+
+    res = extract_document("https://x/report.pdf", dt.datetime(2024, 2, 1), _two_page_pdf(), "")
+    assert res["method"] == "pdf_text"
+    assert res["pages"] == 2
+    md = res["markdown"]
+    assert "<!-- page:1 -->" in md and "<!-- page:2 -->" in md
+    assert "Annual Report" in md
+    # 18pt line over 11pt body → heading role from the multi-signal classifier
+    assert "# Annual Report" in md or 'role:heading' in md.split("Annual Report")[0].rsplit("<!--", 2)[-2]
+
+
+def test_pdf_fallbacks():
+    """Encrypted or text-less PDFs must raise so decode_payload falls back
+    to the text column; extract_document then routes text_layer."""
+    import datetime as dt
+
+    from smoldocling_ocr_spark.functions.extract import extract_document
+
+    encrypted = _pdf({1: b"<< /Type /Catalog /Encrypt 9 0 R >>"})
+    with pytest.raises(ValueError):
+        extract_pdf_pages(encrypted)
+    scanned = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: _content_obj(b"q 612 0 0 792 0 0 cm /Im0 Do Q", flate=False),
+        }
+    )
+    with pytest.raises(ValueError):
+        extract_pdf_pages(scanned)
+
+    res = extract_document(
+        "https://x/scan.pdf", dt.datetime(2024, 2, 1), scanned, "fallback body text"
+    )
+    assert res["method"] == "text_layer"
+    assert "fallback body text" in res["markdown"]
