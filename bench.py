@@ -140,35 +140,44 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
             sec = time.time() - t0
             rates[cores] = (n / sec, sec)
             s.stop()
+        eff = rates[32][0] / rates[8][0] / 4.0
+        ceiling = _host_scaling_ceiling()
         measured.append(
             {
                 "rates": rates,
-                "eff": rates[32][0] / rates[8][0] / 4.0,
-                "ceiling": _host_scaling_ceiling(),
+                "eff": eff,
+                "ceiling": ceiling,
+                # normalize WITHIN the round: the ceiling was measured back-
+                # to-back with this round's Spark runs, so they share the
+                # host's transient load — dividing a quiet round's eff by a
+                # loud round's ceiling (or vice versa) mixes incomparable
+                # host states
+                "normalized": min(eff / ceiling, 1.0),
             }
         )
-    # the UPPER-median round supplies the published numbers: host-load noise
-    # only ever DEGRADES a paired scaling ratio (contention suppresses the
-    # wide config disproportionately), so for an even round count the less-
-    # polluted of the middle pair is the better point estimate — with 2
-    # rounds a plain median would average in a polluted round
+    # the UPPER-median round (by per-round normalized efficiency) supplies
+    # every published number: host-load noise only ever DEGRADES a paired
+    # ratio (contention suppresses the wide config disproportionately), so
+    # for an even round count the less-polluted of the middle pair is the
+    # better point estimate — a plain median would average in a polluted
+    # round
     k = (len(measured) - 1) // 2 if len(measured) % 2 else len(measured) // 2
-    med = sorted(measured, key=lambda r: r["eff"])[k]
-    host_ceiling = statistics.median(r["ceiling"] for r in measured)
+    med = sorted(measured, key=lambda r: r["normalized"])[k]
     return {
         **{
             f"local[{cores}]": {"docs_per_sec": round(rate, 2), "sec": round(sec, 3)}
             for cores, (rate, sec) in med["rates"].items()
         },
         "round_efficiencies": [round(r["eff"], 4) for r in measured],
+        "round_normalized": [round(r["normalized"], 4) for r in measured],
         "efficiency_n_to_4n": round(med["eff"], 4),
         # what THIS HOST allows when the same per-doc workload runs under
         # bare multiprocessing (frequency scaling + memory-bandwidth
         # contention at 32 busy cores, zero framework overhead); a real
         # N->4N executor scale-out adds machines that each stay at the
         # N-core operating point and does not pay this
-        "host_mp_ceiling": round(host_ceiling, 4),
-        "normalized_efficiency": round(min(med["eff"] / host_ceiling, 1.0), 4),
+        "host_mp_ceiling": round(med["ceiling"], 4),
+        "normalized_efficiency": round(med["normalized"], 4),
     }
 
 
@@ -221,9 +230,7 @@ def main() -> None:
     if os.environ.get("BENCH_SCALING") != "0":
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
-        rounds = int(
-            os.environ.get("BENCH_SCALING_ROUNDS", "3" if os.environ.get("BENCH_SCALING") else "2")
-        )
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
         result["scaling"] = {
             "scaling_docs": scale_docs,
             **_scaling_measurement(scale_path, rounds),
