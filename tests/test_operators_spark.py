@@ -570,3 +570,58 @@ def test_cluster_conf_profile():
     assert conf["spark.speculation"] == "true"
     # every value must be a string (spark-submit --conf k=v form)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_extract_doc_udtf_sql_surface(spark, cc_docs):
+    """The extractor as a SQL lateral table function (Spark 4 Python UDTF):
+    markdown from plain SQL matches the mapInPandas pipeline byte-for-byte."""
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+    from smoldocling_ocr_spark.plans.udtf import register_extract_udtf
+
+    register_extract_udtf(spark)
+    cc_docs.limit(6).createOrReplaceTempView("udtf_docs")
+    got = {
+        r["url"]: (r["markdown"], r["method"])
+        for r in spark.sql(
+            "SELECT e.* FROM udtf_docs AS t, "
+            "LATERAL extract_doc(t.url, t.warc_ts, t.html, t.text) AS e"
+        ).collect()
+    }
+    want = {
+        r["url"]: (r["markdown"], r["method"])
+        for r in extract_documents(cc_docs.limit(6), salt=False).collect()
+    }
+    assert got == want and len(got) == 6
+
+
+def test_streaming_restart_exactly_once(spark, cc_docs, tmp_path):
+    """Checkpointed restart: a second availableNow run over the same
+    checkpoint processes ONLY files that arrived after the first run —
+    no re-extraction, no duplicate urls in the sink (the streaming form of
+    the north-rule checkpoint-resume contract)."""
+    import os
+
+    from smoldocling_ocr_spark.streaming.adapter import start_extract_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows = cc_docs.limit(10).collect()
+    first, second = rows[:6], rows[6:]
+    spark.createDataFrame(first).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(cc_docs.schema).parquet(src)
+    q = start_extract_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 6
+
+    # late arrivals land in the same source directory
+    spark.createDataFrame(second).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(cc_docs.schema).parquet(src)
+    q2 = start_extract_stream(stream2, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 10, "restart must process only the new files"
+    assert got.select("url").distinct().count() == 10
