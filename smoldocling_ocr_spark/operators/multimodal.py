@@ -286,6 +286,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if fmt == "jpeg":
+        from ..functions.jpegdec import decode_jpeg
+
+        # baseline sequential only; progressive/arithmetic raise
+        # NotImplementedError from the decoder itself
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"image decode for format={fmt!r} requires an image codec; "
         "ship PIL via --py-files in a full deployment"

@@ -1,0 +1,264 @@
+"""Baseline JPEG decoder (functions/jpegdec.py) round-trip tests.
+
+The fixture encoder below is an independent pure-Python baseline JPEG
+writer (standard ITU T.81 Annex K Huffman tables, JFIF YCbCr, 4:4:4 and
+grayscale, optional restart markers). Lossy round-trip → PSNR tolerance,
+plus exactness on a DC-only (flat) image.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from smoldocling_ocr_spark.functions.jpegdec import _A, ZIGZAG, decode_jpeg
+
+# --- encoder Huffman specs: (counts[16], symbols) --------------------------
+# Custom but fully spec-valid tables (decoders must read them from DHT —
+# which is exactly what's under test): all 12 DC categories at code length
+# 4, and all 162 AC (run,size) symbols at code length 8. Canonical codes
+# stay below the all-ones code in both cases, as T.81 requires.
+
+DC_LUM = (
+    bytes([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+DC_CHR = DC_LUM
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+AC_LUM = (
+    bytes([0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]),
+    _AC_SYMBOLS,
+)
+AC_CHR = AC_LUM
+
+QTAB = np.full(64, 8, dtype=np.int32)
+QTAB[0] = 4
+
+
+def _codes(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)
+
+
+def _category(v: int) -> tuple[int, int]:
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, pred: int, dc: dict, ac: dict
+) -> int:
+    coeffs = _A @ (block - 128.0) @ _A.T
+    zz = np.round(coeffs.reshape(-1)[ZIGZAG] / QTAB).astype(int)
+    s, bits = _category(int(zz[0]) - pred)
+    l, c = dc[s]
+    bw.write(c, l)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            l, c = ac[0xF0]
+            bw.write(c, l)
+            run -= 16
+        s, bits = _category(v)
+        l, c = ac[(run << 4) | s]
+        bw.write(c, l)
+        bw.write(bits, s)
+        run = 0
+    if run:
+        l, c = ac[0x00]
+        bw.write(c, l)
+    return int(zz[0])
+
+
+def encode_jpeg(px: np.ndarray, restart: int = 0, subsample: bool = False) -> bytes:
+    """Baseline encoder: grayscale (2-D input), 4:4:4, or 4:2:0 (subsample)."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    mcu_px = 16 if subsample and not gray else 8
+    ph = (h + mcu_px - 1) // mcu_px * mcu_px
+    pw = (w + mcu_px - 1) // mcu_px * mcu_px
+    if gray:
+        planes = [np.pad(px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
+        factors = [(1, 1)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in (y, cb, cr)]
+        if subsample:
+            planes = [planes[0]] + [
+                p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for p in planes[1:]
+            ]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1)] * 3
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(int(v) for v in QTAB))  # QTAB is zigzag-ordered
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        fh, fv = factors[cid - 1]
+        sof += bytes([cid, (fh << 4) | fv, 0])
+    seg(0xC0, sof)
+    for tc_th, (counts, symbols) in (
+        ((0, 0), DC_LUM), ((1, 0), AC_LUM), ((0, 1), DC_CHR), ((1, 1), AC_CHR),
+    )[: 2 if gray else 4]:
+        seg(0xC4, bytes([(tc_th[0] << 4) | tc_th[1]]) + counts + symbols)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        tid = 0 if cid == 1 else 1
+        sos += bytes([cid, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    dcs = [_codes(*DC_LUM), _codes(*DC_CHR)]
+    acs = [_codes(*AC_LUM), _codes(*AC_CHR)]
+    bw = _BitWriter()
+    pred = [0] * nc
+    mcu = 0
+    rst = 0
+    for by in range(ph // mcu_px):
+        for bx in range(pw // mcu_px):
+            if restart and mcu and mcu % restart == 0:
+                bw.pad()
+                out.extend(bw.out)
+                bw = _BitWriter()
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                pred = [0] * nc
+            for ci in range(nc):
+                tid = 0 if ci == 0 else 1
+                fh, fv = factors[ci]
+                for sy in range(fv):
+                    for sx in range(fh):
+                        y0 = (by * fv + sy) * 8
+                        x0 = (bx * fh + sx) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(bw, block, pred[ci], dcs[tid], acs[tid])
+            mcu += 1
+    bw.pad()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_flat_image_exact():
+    px = np.full((16, 24, 3), 200, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got.shape == (16, 24, 3)
+    assert int(np.abs(got.astype(int) - 200).max()) <= 2  # rounding only
+
+
+def test_gradient_roundtrip_psnr():
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got.shape == px.shape
+    assert _psnr(px, got) > 28.0
+
+
+def test_grayscale_and_restart_markers():
+    rng = np.random.default_rng(5)
+    smooth = rng.integers(0, 40, size=(24, 24)).astype(np.float64)
+    gray = np.clip(smooth.cumsum(axis=1) % 220, 0, 255).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(gray))
+    assert got.shape == (24, 24, 3)
+    assert _psnr(np.repeat(gray[:, :, None], 3, axis=2), got) > 28.0
+
+    px = np.repeat(gray[:, :, None], 3, axis=2)
+    with_rst = encode_jpeg(px, restart=2)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    got2 = decode_jpeg(with_rst)
+    assert _psnr(px, got2) > 28.0
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 chroma: the decoder's MCU interleave (2x2 luma blocks) and
+    chroma upsample path. Luma detail survives; chroma is smooth by
+    construction so subsampling loses little."""
+    yy, xx = np.mgrid[0:48, 0:32]
+    px = np.stack(
+        [(xx * 6) % 256, np.full_like(xx, 120), (yy * 2) % 200], axis=2
+    ).astype(np.uint8)
+    data = encode_jpeg(px, subsample=True)
+    got = decode_jpeg(data)
+    assert got.shape == px.shape
+    assert _psnr(px, got) > 26.0
+    # odd dimensions exercise the crop after MCU padding
+    odd = px[:41, :27]
+    assert decode_jpeg(encode_jpeg(odd, subsample=True)).shape == (41, 27, 3)
+
+
+def test_progressive_raises():
+    # minimal SOF2 header → declared unsupported
+    bad = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bad)
+
+
+def test_decode_image_routes_jpeg():
+    from smoldocling_ocr_spark.operators.multimodal import decode_image
+
+    px = np.full((8, 8, 3), 90, dtype=np.uint8)
+    got = decode_image(encode_jpeg(px))
+    assert got.shape == (8, 8, 3)
+    assert int(np.abs(got.astype(int) - 90).max()) <= 2

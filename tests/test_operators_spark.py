@@ -100,9 +100,15 @@ def test_multimodal_probe_and_features(spark):
 def test_decode_image_stub_and_fake():
     from smoldocling_ocr_spark.operators.multimodal import decode_image
 
-    # JPEG still needs a codec → declared stub
-    with pytest.raises(NotImplementedError):
+    # truncated/markerless JPEG → decoder error, never a bogus array
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    # progressive JPEG (SOF2) → declared unsupported
+    with pytest.raises(NotImplementedError):
+        decode_image(
+            b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        )
     fake = decode_image(_png_bytes(8, 8), fake=True)
     assert fake.shape == (8, 8, 3)
 
