@@ -1,9 +1,11 @@
-"""Baseline JPEG decode, pure Python + numpy (no codec library).
+"""Image decoding with no codec library: baseline JPEG and GIF (PNG/BMP
+live in operators/multimodal.py next to the header sniffing).
 
-Scope: baseline sequential DCT JPEGs (SOF0), 8-bit, grayscale / 4:4:4 /
+JPEG scope: baseline sequential DCT (SOF0), 8-bit, grayscale / 4:4:4 /
 4:2:0 / 4:2:2 chroma subsampling, optional restart markers. Progressive
 (SOF2), arithmetic coding, and 12-bit depth raise NotImplementedError —
-callers fall back to the declared codec stub path.
+callers fall back to the declared codec stub path. GIF scope: 87a/89a
+first frame, global/local palettes, interlace, LZW with table resets.
 
 Reference context: the reference opens images with PIL for OCR input and
 metadata (app.py:94-119, metadata_extractor.py:148-207). This sandbox has
@@ -251,3 +253,107 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → HxWx3 uint8 RGB, pure-Python LZW.
+
+    Global/local color tables, interlaced images, and sub-block framing are
+    handled; animation beyond the first image descriptor is ignored (the
+    multimodal contract treats video-ish payloads via frame_sample)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * size, offset=pos).reshape(size, 3)
+        pos += 3 * size
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * size, offset=pos
+                ).reshape(size, 3)
+                pos += 3 * size
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(data), min_code_size, iw * ih)
+            idx = np.asarray(indices, dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                de = np.empty_like(idx)
+                de[order] = idx[: len(order)]
+                idx = de
+            rgb = table[np.clip(idx, 0, len(table) - 1)]
+            # compose onto the logical screen (descriptor offset)
+            canvas = np.zeros((height, width, 3), dtype=np.uint8)
+            canvas[iy : iy + ih, ix : ix + iw] = rgb[: height - iy, : width - ix]
+            return canvas
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size and len(out) < max_pixels:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and code != end:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out

@@ -2,15 +2,18 @@
 
 Image/audio/video payloads ride as ``binary`` columns with struct metadata —
 the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work is stubbed behind
-deterministic fakes because no image/audio libraries exist in this
-container (task contract: stub the decode, keep the plumbing real).
+signatures) is real and tested. No image library ships in this container;
+decode is nevertheless REAL for the formats that need no native codec:
+PNG (stdlib zlib + scanline unfiltering), uncompressed BMP, baseline JPEG
+and GIF (functions/imagedec.py). Progressive JPEG and exotic variants stay
+declared NotImplementedError stubs.
 
 Ops:
-* ``probe_media``      — sniff container format + dimensions from magic bytes
-                         (real: PNG/JPEG/GIF headers parsed without a codec)
-* ``decode_image``     — stub: raises NotImplementedError inside a clearly
-                         marked branch; deterministic fake under ``fake=True``
+* ``probe_media``      — container format + dimensions + EXIF
+                         (orientation/datetime/map) from headers
+* ``decode_image``     — PNG/BMP/baseline-JPEG/GIF → HxWx3 uint8;
+                         deterministic fake under ``fake=True`` for
+                         format-agnostic plumbing tests
 * ``extract_features`` — mapInPandas over binary batches → fixed-width float
                          vector per row (deterministic fake: byte histogram)
 * ``frame_sample``     — UDTF-shaped: one media row → N frame rows (offsets
@@ -287,11 +290,15 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if fmt == "jpeg":
-        from ..functions.jpegdec import decode_jpeg
+        from ..functions.imagedec import decode_jpeg
 
         # baseline sequential only; progressive/arithmetic raise
         # NotImplementedError from the decoder itself
         return decode_jpeg(payload)
+    if fmt == "gif":
+        from ..functions.imagedec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"image decode for format={fmt!r} requires an image codec; "
         "ship PIL via --py-files in a full deployment"

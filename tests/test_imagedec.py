@@ -1,4 +1,4 @@
-"""Baseline JPEG decoder (functions/jpegdec.py) round-trip tests.
+"""Baseline JPEG decoder (functions/imagedec.py) round-trip tests.
 
 The fixture encoder below is an independent pure-Python baseline JPEG
 writer (standard ITU T.81 Annex K Huffman tables, JFIF YCbCr, 4:4:4 and
@@ -13,7 +13,7 @@ import struct
 import numpy as np
 import pytest
 
-from smoldocling_ocr_spark.functions.jpegdec import _A, ZIGZAG, decode_jpeg
+from smoldocling_ocr_spark.functions.imagedec import _A, ZIGZAG, decode_jpeg
 
 # --- encoder Huffman specs: (counts[16], symbols) --------------------------
 # Custom but fully spec-valid tables (decoders must read them from DHT —
@@ -262,3 +262,79 @@ def test_decode_image_routes_jpeg():
     got = decode_image(encode_jpeg(px))
     assert got.shape == (8, 8, 3)
     assert int(np.abs(got.astype(int) - 90).max()) <= 2
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+def _encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer: exact-palette, LZW with clear-code resets.
+    Emits a clear code before every pixel code (valid, trivially correct
+    LZW — the decoder must handle code-table resets and variable widths)."""
+    h, w = px.shape[:2]
+    colors = sorted({tuple(c) for row in px for c in row})
+    assert len(colors) <= 128
+    cbits = max(2, (len(colors) - 1).bit_length())
+    palette = list(colors) + [(0, 0, 0)] * ((1 << cbits) - len(colors))
+    cmap = {c: i for i, c in enumerate(colors)}
+    idx = np.array([[cmap[tuple(c)] for c in row] for row in px], dtype=np.uint8)
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        idx = idx[order]
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (cbits - 1), 0, 0])
+    for c in palette:
+        out += bytes(c)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    min_code = cbits
+    clear = 1 << min_code
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.reshape(-1):
+        emit(clear, min_code + 1)
+        emit(int(v), min_code + 1)
+    emit(end, min_code + 1)
+    if nbits:
+        data.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_interlace():
+    from smoldocling_ocr_spark.functions.imagedec import decode_gif
+
+    rng = np.random.default_rng(9)
+    palette = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250], [240, 240, 0]], dtype=np.uint8)
+    px = palette[rng.integers(0, 4, size=(16, 11))]
+    assert np.array_equal(decode_gif(_encode_gif(px)), px)
+    assert np.array_equal(decode_gif(_encode_gif(px, interlace=True)), px)
+
+
+def test_gif_via_decode_image():
+    from smoldocling_ocr_spark.operators.multimodal import decode_image
+
+    px = np.array([[[250, 10, 10], [10, 250, 10]]] * 4, dtype=np.uint8)
+    got = decode_image(_encode_gif(px))
+    assert np.array_equal(got, px)
