@@ -45,7 +45,7 @@ def register(query) -> None:
                      + least(length(regexp_extract_all(lower(text), '{_EN_STOPWORDS_RE}')) * 1.0
                              / greatest(length(regexp_split_to_array(text, '\\s+')), 1) * 5, 1.0) * 40
                      + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
-                                    / greatest(length(text), 1) * 4, 1.0)) * 20, 2) AS quality
+                                    / greatest(length(text), 1) * 4, 1.0)) * 20 + 1e-9, 2) AS quality
         FROM documents ORDER BY doc_id
         """,
     )
@@ -59,8 +59,15 @@ def register(query) -> None:
         stop_score = F.least(stop_hits / words * 5, F.lit(1.0)) * 40
         punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
         punct_score = (1.0 - F.least(punct / F.greatest(F.length("text"), F.lit(1)) * 4, F.lit(1.0))) * 20
+        # +1e-9 tie-break before the 2dp round: the rubric lands on exact
+        # .005 boundaries, where cross-engine float accumulation (~1e-13
+        # apart) and the engines' different tie rules (Spark HALF_UP on the
+        # decimal string vs DuckDB on the binary value) each flip rows. The
+        # epsilon is 4 orders above the noise and 6 below the precision, so
+        # both engines leave the boundary on the same side.
         return docs.select(
-            "doc_id", F.round(length_score + stop_score + punct_score, 2).alias("quality")
+            "doc_id",
+            F.round(length_score + stop_score + punct_score + 1e-9, 2).alias("quality"),
         ).orderBy("doc_id")
 
     @query(
