@@ -225,7 +225,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
         pos += 1 + stride
         if ftype == 1:  # Sub
             for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
         elif ftype == 2:  # Up
             line += prev
         elif ftype == 3:  # Average
