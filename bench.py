@@ -230,11 +230,16 @@ def main() -> None:
     if os.environ.get("BENCH_SCALING") != "0":
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
-        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-        result["scaling"] = {
-            "scaling_docs": scale_docs,
-            **_scaling_measurement(scale_path, rounds),
-        }
+        rounds = int(
+            os.environ.get("BENCH_SCALING_ROUNDS", "3" if os.environ.get("BENCH_SCALING") else "2")
+        )
+        try:
+            result["scaling"] = {
+                "scaling_docs": scale_docs,
+                **_scaling_measurement(scale_path, rounds),
+            }
+        except Exception as exc:  # never lose the headline JSON line
+            result["scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     print(json.dumps(result))
 
