@@ -52,7 +52,13 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
 
         try:
             pages, dims = pdftext.extract_pdf_pages(payload)
-            return pages, dims, {}, "pdf_text"
+            # document-information dict → frontmatter fields, the fitz
+            # doc.metadata analog; the D: date is parsed exactly where the
+            # reference parses it (metadata_extractor.py:97-123)
+            info = pdftext.pdf_info(payload)
+            if "creation_date" in info:
+                info["creation_date"] = metadata.parse_pdf_date(info["creation_date"])
+            return pages, dims, info, "pdf_text"
         except Exception:
             pass
     if _looks_like_html(payload):

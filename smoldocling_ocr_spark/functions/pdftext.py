@@ -304,3 +304,33 @@ def extract_pdf_pages(payload: bytes) -> tuple[list[list[dict[str, Any]]], list[
     if not any(pages):
         raise ValueError("PDF has no extractable text layer (scanned?)")
     return pages, dims
+
+
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_INFO_FIELD_RES = {
+    "title": re.compile(rb"/Title\s*\("),
+    "author": re.compile(rb"/Author\s*\("),
+    "creation_date": re.compile(rb"/CreationDate\s*\("),
+}
+
+
+def pdf_info(payload: bytes) -> dict[str, str]:
+    """Document-information dictionary (trailer /Info → Title/Author/
+    CreationDate), the fields metadata_extractor.py:97-123 reads via
+    fitz ``doc.metadata`` for the YAML frontmatter. Literal-string values
+    only (the overwhelmingly common form); raw D: dates are returned as-is
+    for metadata.parse_pdf_date."""
+    m = _INFO_REF_RE.search(payload)
+    if not m:
+        return {}
+    body = _objects(payload).get(int(m.group(1)))
+    if body is None:
+        return {}
+    out: dict[str, str] = {}
+    for key, pattern in _INFO_FIELD_RES.items():
+        f = pattern.search(body)
+        if f:
+            value, _ = _literal_string(body, f.end() - 1)
+            if value:
+                out[key] = value
+    return out

@@ -279,11 +279,19 @@ def _make_pdf_doc(rng: random.Random, doc_idx: int, lang: str) -> tuple[bytes, s
         page_obj_nums.append(page_num)
         next_obj += 2
     kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
+    info_num = next_obj
+    day = doc_idx % 28 + 1
+    info = (
+        b"%d 0 obj\n<< /Title (Report %d) /Author (Author %d) "
+        b"/CreationDate (D:202401%02d090000) >>\nendobj\n"
+        % (info_num, doc_idx % 211, doc_idx % 17, day)
+    )
     header = (
         b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
         b"2 0 obj\n<< /Type /Pages /Kids [" + kids + b"] /Count %d >>\nendobj\n" % n_pages
     )
-    return header + b"".join(objects) + b"%%EOF", "\n\n".join(texts)
+    trailer = b"trailer\n<< /Root 1 0 R /Info %d 0 R >>\n" % info_num
+    return header + b"".join(objects) + info + trailer + b"%%EOF", "\n\n".join(texts)
 
 
 def _make_text_doc(rng: random.Random, lang: str) -> tuple[bytes, str]:

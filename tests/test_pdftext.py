@@ -128,3 +128,30 @@ def test_pdf_fallbacks():
     )
     assert res["method"] == "text_layer"
     assert "fallback body text" in res["markdown"]
+
+
+def test_pdf_info_metadata_to_frontmatter():
+    """Document-information dict (trailer /Info) reaches the YAML
+    frontmatter with the D: date parsed, like the reference's fitz
+    doc.metadata route (metadata_extractor.py:97-123)."""
+    import datetime as dt
+
+    from smoldocling_ocr_spark.functions.extract import extract_document
+    from smoldocling_ocr_spark.functions.pdftext import pdf_info
+
+    base = _two_page_pdf()
+    info = (
+        b"9 0 obj\n<< /Title (Q1 \\(Draft\\)) /Author (A. Writer) "
+        b"/CreationDate (D:20230506070809) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Info 9 0 R >>\n"
+    )
+    payload = base.replace(b"%%EOF", info + b"%%EOF")
+    assert pdf_info(payload) == {
+        "title": "Q1 (Draft)", "author": "A. Writer",
+        "creation_date": "D:20230506070809",
+    }
+    md = extract_document("https://x/q1.pdf", dt.datetime(2024, 2, 1), payload, "")["markdown"]
+    assert 'title: "Q1 (Draft)"' in md
+    assert 'author: "A. Writer"' in md
+    assert 'creation_date: "2023-05-06T07:08:09"' in md
+    assert pdf_info(base) == {}  # no Info dict → empty
