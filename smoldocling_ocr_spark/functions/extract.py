@@ -63,12 +63,15 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
             pass
     if _looks_like_html(payload):
         elements = html_extract_elements(payload.decode("utf-8", errors="replace"))
-        # acceptance gate (structure_engine.py:914-928 router analog): if the
-        # DOM strip yields almost nothing (script-only page, parse miss),
-        # fall back to the raw text column — the cheap probe before the
-        # expensive path, re-expressed for HTML payloads
-        total_chars = sum(len(e.get("content") or "") for e in elements if e.get("type") == "text")
-        if total_chars > 100:
+        # acceptance gate (structure_engine.py:914-928 router analog): the
+        # reference accepts the digital parse only when BOTH >100 chars AND
+        # >100 words survive — script-only pages and single-token blobs fall
+        # back to the raw text column, the cheap probe before the expensive
+        # path, re-expressed for HTML payloads
+        texts = [e.get("content") or "" for e in elements if e.get("type") == "text"]
+        total_chars = sum(len(t) for t in texts)
+        total_words = sum(len(t.split()) for t in texts)
+        if total_chars > 100 and total_words > 100:
             height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
             return [elements], [(DEFAULT_PAGE_WIDTH, max(height, DEFAULT_PAGE_HEIGHT))], {}, "html_dom"
     # plain-text fallback source (the `text` column) — digital-path analog

@@ -26,9 +26,13 @@ from typing import Any
 
 DEFAULT_MEDIABOX = (612.0, 792.0)  # US letter
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -46,27 +50,130 @@ def is_pdf(payload: bytes) -> bool:
     return payload[:5] == b"%PDF-"
 
 
-def _objects(payload: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Scan indirect objects → {num: (dict/body bytes, raw stream bytes|None)}.
+
+    Stream data is sliced by the /Length entry when it is a direct integer —
+    Flate output legally contains the byte sequences ``endstream``/``endobj``,
+    so a naive non-greedy regex truncates such objects and silently drops the
+    page's content. When /Length is an indirect reference (or absent), fall
+    back to scanning successive ``endstream`` candidates until one leaves the
+    declared filter decodable (retry-past-failed-decompress)."""
+    out: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(payload, pos)
+        if not m:
+            break
+        start = m.end()
+        end_obj = payload.find(b"endobj", start)
+        sm = _STREAM_KW_RE.search(payload, start, end_obj if end_obj != -1 else n)
+        if sm is None:
+            body = payload[start : end_obj if end_obj != -1 else n]
+            out[int(m.group(1))] = (body, None)
+            pos = (end_obj + 6) if end_obj != -1 else n
+            continue
+        head = payload[start : sm.start()]
+        data_start = sm.end()
+        lm = _LENGTH_RE.search(head)
+        data: bytes | None = None
+        if lm:
+            data_end = data_start + int(lm.group(1))
+            if payload[data_end : data_end + 16].lstrip(b"\r\n ").startswith(b"endstream"):
+                data = payload[data_start:data_end]
+        if data is None:
+            # no usable direct /Length: try successive endstream candidates,
+            # accepting the first whose bytes actually decode under the
+            # declared filter (plain bytes accept the first candidate)
+            search_from = data_start
+            while True:
+                cand = payload.find(b"endstream", search_from)
+                if cand == -1:
+                    data = payload[data_start : end_obj if end_obj != -1 else n]
+                    break
+                chunk = payload[data_start:cand].rstrip(b"\r\n")
+                if b"/FlateDecode" not in head:
+                    data = chunk
+                    break
+                try:
+                    zlib.decompress(chunk)
+                    data = chunk
+                    break
+                except zlib.error:
+                    search_from = cand + 9
+        out[int(m.group(1))] = (head, data)
+        # endobj may have appeared spuriously inside the stream: skip past
+        # the stream data before resuming the object scan
+        next_end = payload.find(b"endobj", data_start + len(data))
+        pos = (next_end + 6) if next_end != -1 else n
+    return out
 
 
-def _stream_data(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+def _stream_data(obj: tuple[bytes, bytes | None]) -> bytes | None:
+    head, data = obj
+    if data is None:
         return None
-    data = m.group(1)
-    if b"/FlateDecode" in body[: m.start()]:
-        data = zlib.decompress(data)
+    if b"/FlateDecode" in head:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            # writers that pad /Length past the EOD put an EOL before
+            # endstream; a /Length-sliced chunk then carries trailing \r\n
+            data = zlib.decompress(data.rstrip(b"\r\n"))
     return data
 
 
-def _page_specs(objects: dict[int, bytes]) -> list[tuple[list[int], tuple[float, float]]]:
-    """Per page (in object order): (content object numbers, (width, height))."""
+def _page_order(payload: bytes, objects: dict[int, tuple[bytes, bytes | None]]) -> list[int] | None:
+    """Document page order from the catalog's /Pages tree (/Kids walk).
+
+    Real digitally-generated PDFs frequently number page objects out of
+    document order (incremental updates, generators that emit content before
+    pages), so object-number order silently scrambles multi-page reading
+    order. The LAST /Root reference wins (incremental updates append new
+    trailers). Returns None when the tree is unparsable → caller falls back
+    to ascending object order."""
+    roots = _ROOT_RE.findall(payload)
+    if not roots:
+        return None
+    catalog = objects.get(int(roots[-1]))
+    if catalog is None:
+        return None
+    pages_ref = _PAGES_REF_RE.search(catalog[0])
+    if pages_ref is None:
+        return None
+    order: list[int] = []
+    visited: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in visited:  # cycle guard
+            return
+        visited.add(num)
+        obj = objects.get(num)
+        if obj is None:
+            return
+        kids = _KIDS_RE.search(obj[0])
+        if kids:
+            for r in _REF_RE.finditer(kids.group(1)):
+                walk(int(r.group(1)))
+        elif _PAGE_TYPE_RE.search(obj[0]):
+            order.append(num)
+
+    walk(int(pages_ref.group(1)))
+    return order or None
+
+
+def _page_specs(
+    payload: bytes, objects: dict[int, tuple[bytes, bytes | None]]
+) -> list[tuple[list[int], tuple[float, float]]]:
+    """Per page (in /Pages-tree order, object order as the unparsable-tree
+    fallback): (content object numbers, (width, height))."""
+    page_nums = _page_order(payload, objects)
+    if page_nums is None:
+        page_nums = [n for n in sorted(objects) if _PAGE_TYPE_RE.search(objects[n][0])]
     pages = []
-    for num in sorted(objects):
-        body = objects[num]
-        if not _PAGE_TYPE_RE.search(body):
-            continue
+    for num in page_nums:
+        body = objects[num][0]
         refs: list[int] = []
         arr = _CONTENTS_ARR_RE.search(body)
         if arr:
@@ -259,20 +366,27 @@ def extract_pdf_pages(payload: bytes) -> tuple[list[list[dict[str, Any]]], list[
     if b"/Encrypt" in payload:
         raise ValueError("encrypted PDF — no text layer accessible")
     objects = _objects(payload)
-    specs = _page_specs(objects)
+    specs = _page_specs(payload, objects)
     if not specs:
         raise ValueError("no page objects found (object-stream xref?)")
     pages: list[list[dict[str, Any]]] = []
     dims: list[tuple[float, float]] = []
     for refs, (width, height) in specs:
         shows: list[tuple[float, float, float, str]] = []
+        decoded_any = False
         for ref in refs:
-            body = objects.get(ref)
-            if body is None:
+            obj = objects.get(ref)
+            if obj is None:
                 continue
-            data = _stream_data(body)
+            data = _stream_data(obj)
             if data:
+                decoded_any = True
                 shows.extend(_parse_content(data))
+        if refs and not decoded_any:
+            # a page whose /Contents resolve to no decodable stream is a
+            # parse FAILURE (truncated/exotic object), not an empty page —
+            # raising routes the document to the text-column fallback
+            raise ValueError("page content stream not decodable")
         # group into lines by y (top-origin), preserving show order within
         lines: dict[float, list[tuple[float, float, float, str]]] = {}
         for sx, sy, ssize, stext in shows:
@@ -323,14 +437,20 @@ def pdf_info(payload: bytes) -> dict[str, str]:
     m = _INFO_REF_RE.search(payload)
     if not m:
         return {}
-    body = _objects(payload).get(int(m.group(1)))
-    if body is None:
+    obj = _objects(payload).get(int(m.group(1)))
+    if obj is None:
         return {}
+    body = obj[0]
     out: dict[str, str] = {}
     for key, pattern in _INFO_FIELD_RES.items():
         f = pattern.search(body)
         if f:
             value, _ = _literal_string(body, f.end() - 1)
+            if value.startswith("\xfe\xff"):
+                # UTF-16BE text string (PDF 32000-1 §7.9.2.2) — common for
+                # non-ASCII Title/Author; _literal_string decoded it one-
+                # char-per-byte (latin-1 roundtrip), so re-decode the bytes
+                value = value[2:].encode("latin-1").decode("utf-16-be", errors="replace")
             if value:
                 out[key] = value
     return out

@@ -131,3 +131,19 @@ def test_span_heuristics():
     ]
     kept = drop_blocks_in_tables(blocks, [(0, 0, 10, 7)])  # 70% overlap
     assert [b["content"] for b in kept] == ["outside"]
+
+
+def test_html_acceptance_gate_requires_chars_and_words():
+    """The digital-route acceptance gate mirrors the reference's conjunct
+    (structure_engine.py:914-928): >100 chars AND >100 words. A long
+    single-token blob (chars pass, words fail) must fall back to the text
+    column; a normal article (both pass) routes html_dom."""
+    ts = dt.datetime(2024, 3, 1)
+    blob = "<html><body><p>" + "x" * 300 + "</p></body></html>"
+    res = extract_document("https://x/blob.html", ts, blob.encode(), "fallback words")
+    assert res["method"] == "text_layer"
+
+    words = " ".join(f"word{i}" for i in range(150))
+    article = f"<html><body><p>{words}</p></body></html>"
+    res = extract_document("https://x/article.html", ts, article.encode(), "")
+    assert res["method"] == "html_dom"

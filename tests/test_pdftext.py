@@ -155,3 +155,117 @@ def test_pdf_info_metadata_to_frontmatter():
     assert 'author: "A. Writer"' in md
     assert 'creation_date: "2023-05-06T07:08:09"' in md
     assert pdf_info(base) == {}  # no Info dict → empty
+
+
+def test_pdf_kids_order_overrides_object_numbering():
+    """Page order comes from the catalog's /Pages /Kids walk, not object
+    numbering — generators that emit content before pages (and incremental
+    updates) number page objects out of document order."""
+    payload = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            # Kids lists page 7 first, but 3 < 7 in object order
+            2: b"<< /Type /Pages /Kids [7 0 R 3 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+            4: _content_obj(b"BT /F1 12 Tf 72 700 Td (Second page text body) Tj ET"),
+            7: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 8 0 R >>",
+            8: _content_obj(b"BT /F1 12 Tf 72 700 Td (First page text body) Tj ET"),
+        }
+    ) + b"\ntrailer\n<< /Root 1 0 R >>\n"
+    pages, _ = extract_pdf_pages(payload)
+    assert [p[0]["content"] for p in pages] == [
+        "First page text body",
+        "Second page text body",
+    ]
+
+
+def test_pdf_intermediate_pages_nodes_recursed():
+    """/Kids trees with intermediate /Pages nodes are walked depth-first."""
+    payload = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [10 0 R 5 0 R] /Count 2 >>",
+            10: b"<< /Type /Pages /Parent 2 0 R /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 10 0 R /Contents 4 0 R >>",
+            4: _content_obj(b"BT /F1 12 Tf 72 700 Td (Nested kid page) Tj ET"),
+            5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            6: _content_obj(b"BT /F1 12 Tf 72 700 Td (Top level kid page) Tj ET"),
+        }
+    ) + b"\ntrailer\n<< /Root 1 0 R >>\n"
+    pages, _ = extract_pdf_pages(payload)
+    assert [p[0]["content"] for p in pages] == ["Nested kid page", "Top level kid page"]
+
+
+def test_pdf_length_delimits_stream_with_embedded_keywords():
+    """/Length slices stream data exactly: content bytes legally containing
+    'endstream'/'endobj' must not truncate the object or the stream."""
+    ops = (
+        b"BT /F1 12 Tf 72 700 Td (contains endstream inside) Tj ET\n"
+        b"BT /F1 12 Tf 72 686 Td (and endobj too) Tj ET\n"
+    )
+    payload = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: _content_obj(ops),  # raw stream, exact /Length
+        }
+    )
+    # objects AFTER the booby-trapped stream must still be found
+    payload = payload.replace(b"%%EOF", b"5 0 obj\n<< /Type /Font >>\nendobj\n%%EOF")
+    from smoldocling_ocr_spark.functions.pdftext import _objects
+
+    assert 5 in _objects(payload)
+    pages, _ = extract_pdf_pages(payload)
+    texts = [e["content"] for e in pages[0]]
+    assert "contains endstream inside" in texts
+    assert "and endobj too" in texts
+
+
+def test_pdf_flate_without_length_falls_back():
+    """A Flate stream with an indirect/missing /Length is recovered by
+    scanning endstream candidates until the chunk decompresses."""
+    data = zlib.compress(b"BT /F1 12 Tf 72 700 Td (no length entry) Tj ET")
+    payload = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Filter /FlateDecode /Length 9 0 R >>\nstream\n" + data + b"\nendstream",
+        }
+    )
+    pages, _ = extract_pdf_pages(payload)
+    assert pages[0][0]["content"] == "no length entry"
+
+
+def test_pdf_undecodable_contents_is_parse_failure():
+    """A page whose /Contents resolve to no decodable stream raises (parse
+    failure -> text-column fallback), instead of yielding an empty page."""
+    payload = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: _content_obj(b"BT /F1 12 Tf 72 700 Td (good page) Tj ET"),
+            5: b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>",  # 9 missing
+        }
+    )
+    with pytest.raises(ValueError):
+        extract_pdf_pages(payload)
+
+
+def test_pdf_info_utf16be_strings():
+    """UTF-16BE text strings (BOM FE FF) in the Info dict decode to real
+    text instead of one-char-per-byte mojibake."""
+    from smoldocling_ocr_spark.functions.pdftext import pdf_info
+
+    title = "Résumé – Übersicht"
+    raw = b"\xfe\xff" + title.encode("utf-16-be")
+    # escape PDF literal-string specials in the raw bytes
+    esc = raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    payload = _two_page_pdf().replace(
+        b"%%EOF",
+        b"9 0 obj\n<< /Title (" + esc + b") /Author (Plain) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Info 9 0 R >>\n%%EOF",
+    )
+    assert pdf_info(payload) == {"title": title, "author": "Plain"}
