@@ -119,12 +119,14 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
     """Paired interleaved N→4N scaling rounds (sandbox stand-in for N vs 4N
     executors, per BASELINE.md): each round measures local[8], local[32], and
     the bare-multiprocessing host ceiling back-to-back so all three share the
-    host's transient load, and contributes one paired efficiency ratio. The
-    MEDIAN round is reported, and the published per-config rates come from
-    that same round so rate(32)/rate(8)/4 reproduces the published raw
-    efficiency exactly."""
-    import statistics
+    host's transient load, and contributes one paired efficiency ratio.
 
+    The published numbers come from the PLAIN MEDIAN round by per-round
+    normalized efficiency (default 3 rounds → the true middle round; for an
+    even round count the LOWER middle is taken, the conservative choice).
+    Every round's raw/normalized/ceiling values and per-config rates are
+    published alongside so the spread — and any polluted round — is visible
+    rather than out-voted."""
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
     from smoldocling_ocr_spark.session import get_spark
 
@@ -140,6 +142,9 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
             sec = time.time() - t0
             rates[cores] = (n / sec, sec)
             s.stop()
+        # let JVM teardown (GC/shutdown threads) settle so it does not
+        # pollute the bare-multiprocessing ceiling measured next
+        time.sleep(2.0)
         eff = rates[32][0] / rates[8][0] / 4.0
         ceiling = _host_scaling_ceiling()
         measured.append(
@@ -155,13 +160,8 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
                 "normalized": min(eff / ceiling, 1.0),
             }
         )
-    # the UPPER-median round (by per-round normalized efficiency) supplies
-    # every published number: host-load noise only ever DEGRADES a paired
-    # ratio (contention suppresses the wide config disproportionately), so
-    # for an even round count the less-polluted of the middle pair is the
-    # better point estimate — a plain median would average in a polluted
-    # round
-    k = (len(measured) - 1) // 2 if len(measured) % 2 else len(measured) // 2
+    # plain median round (lower middle for even counts — conservative)
+    k = (len(measured) - 1) // 2
     med = sorted(measured, key=lambda r: r["normalized"])[k]
     return {
         **{
@@ -170,6 +170,10 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
         },
         "round_efficiencies": [round(r["eff"], 4) for r in measured],
         "round_normalized": [round(r["normalized"], 4) for r in measured],
+        "round_ceilings": [round(r["ceiling"], 4) for r in measured],
+        "round_rates_8": [round(r["rates"][8][0], 1) for r in measured],
+        "round_rates_32": [round(r["rates"][32][0], 1) for r in measured],
+        "median_statistic": "plain median round by normalized efficiency",
         "efficiency_n_to_4n": round(med["eff"], 4),
         # what THIS HOST allows when the same per-doc workload runs under
         # bare multiprocessing (frequency scaling + memory-bandwidth
@@ -222,17 +226,15 @@ def main() -> None:
     spark.stop()
 
     # N->4N scaling evidence runs by DEFAULT (the north-rule criterion must
-    # land in every BENCH_rN.json): 2 paired rounds normally, 3 under
-    # BENCH_SCALING=1, skipped only with BENCH_SCALING=0.
-    # The workload must be large enough that per-job fixed overhead
-    # (scheduling, scan task launch) is negligible at the FAST config —
-    # target >= 15s of work at 4N cores.
+    # land in every BENCH_rN.json): 3 paired rounds — an odd count so the
+    # published number is the true plain-median round — skipped only with
+    # BENCH_SCALING=0. The workload must be large enough that per-job fixed
+    # overhead (scheduling, scan task launch) is negligible at the FAST
+    # config — target >= 15s of work at 4N cores.
     if os.environ.get("BENCH_SCALING") != "0":
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
-        rounds = int(
-            os.environ.get("BENCH_SCALING_ROUNDS", "3" if os.environ.get("BENCH_SCALING") else "2")
-        )
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
         try:
             result["scaling"] = {
                 "scaling_docs": scale_docs,

@@ -203,15 +203,16 @@ def render_text(elem: dict[str, Any], ctx: PageContext) -> str:
     else:
         role, attrs = classify_text_role(elem, ctx)
 
-    out = ""
+    parts: list[str] = []
     if reading_order is not None:
-        out += f"<!-- reading-order:{reading_order} -->\n"
-    out += f"<!-- role:{role}"
+        parts.append(f"<!-- reading-order:{reading_order} -->\n")
     if attrs:
-        out += " " + " ".join(f"{k}:{v}" for k, v in attrs.items())
-    out += " -->\n"
+        attr_str = " ".join(f"{k}:{v}" for k, v in attrs.items())
+        parts.append(f"<!-- role:{role} {attr_str} -->\n")
+    else:
+        parts.append(f"<!-- role:{role} -->\n")
     if confidence < 0.7:
-        out += f"<!-- confidence:{confidence:.2f} -->\n"
+        parts.append(f"<!-- confidence:{confidence:.2f} -->\n")
 
     if role == "heading":
         level = attrs.get("level", 2)
@@ -224,53 +225,58 @@ def render_text(elem: dict[str, Any], ctx: PageContext) -> str:
         body = f"[uncertain: {content}]"
     else:
         body = content
-    return out + body + "\n"
+    parts.append(body)
+    parts.append("\n")
+    return "".join(parts)
 
 
 def render_table(elem: dict[str, Any]) -> str:
     content = elem.get("content") or ""
     caption = elem.get("caption") or ""
     reading_order = elem.get("reading_order")
-    out = ""
+    parts: list[str] = []
     if reading_order is not None:
-        out += f"<!-- reading-order:{reading_order} -->\n"
-    out += "<!-- role:table"
+        parts.append(f"<!-- reading-order:{reading_order} -->\n")
+    parts.append("<!-- role:table")
     if caption:
-        out += f' caption:"{caption.replace(chr(34), chr(92) + chr(34))}"'
-    out += " -->\n"
+        parts.append(f' caption:"{caption.replace(chr(34), chr(92) + chr(34))}"')
+    parts.append(" -->\n")
     if caption:
-        out += f"\n**{caption}**\n\n"
-    return out + content + "\n"
+        parts.append(f"\n**{caption}**\n\n")
+    parts.append(content)
+    parts.append("\n")
+    return "".join(parts)
 
 
 def render_figure(elem: dict[str, Any]) -> str:
     caption = elem.get("caption") or ""
     reading_order = elem.get("reading_order")
     content = elem.get("content") or ""
-    out = ""
+    parts: list[str] = []
     if reading_order is not None:
-        out += f"<!-- reading-order:{reading_order} -->\n"
-    out += "<!-- role:figure"
+        parts.append(f"<!-- reading-order:{reading_order} -->\n")
+    parts.append("<!-- role:figure")
     if caption:
-        out += f' caption:"{caption.replace(chr(34), chr(92) + chr(34))}"'
-    out += " -->\n"
+        parts.append(f' caption:"{caption.replace(chr(34), chr(92) + chr(34))}"')
+    parts.append(" -->\n")
     if content:
         # the reference emits the figure element's content string verbatim
         # ("[Figure: WxHpx]" placeholders from the occupancy-grid detector
         # and from OCR-path figure elements) — structure_engine.py:552-560
-        out += content + "\n"
+        parts.append(content)
+        parts.append("\n")
     else:
         alt_text = elem.get("alt") or elem.get("description") or "Figure"
-        out += f"![{alt_text}](image)\n"
+        parts.append(f"![{alt_text}](image)\n")
     if caption:
-        out += f"\n*{caption}*\n"
-    return out
+        parts.append(f"\n*{caption}*\n")
+    return "".join(parts)
 
 
 def render_page(elements: list[dict[str, Any]], page_num: int, page_height: float = 800.0) -> str:
     """Emit one annotated page: marker + elements in (reading_order, y) order."""
     ctx = PageContext(elements, page_num, page_height)
-    out = f"\n<!-- page:{page_num} -->\n\n"
+    parts = [f"\n<!-- page:{page_num} -->\n\n"]
     ordered = sorted(elements, key=lambda e: (e.get("reading_order") or 0, e.get("y") or 0))
     for elem in ordered:
         kind = elem.get("type", "text")
@@ -281,8 +287,9 @@ def render_page(elements: list[dict[str, Any]], page_num: int, page_height: floa
         else:
             piece = render_text(elem, ctx)
         if piece:
-            out += piece + "\n"
-    return out
+            parts.append(piece)
+            parts.append("\n")
+    return "".join(parts)
 
 
 def document_structure(pages: list[list[dict[str, Any]]]) -> dict[str, Any]:

@@ -153,10 +153,14 @@ def extract_document(
 
     conf_fields = confidence.to_frontmatter_fields(pages)
 
-    body = ""
-    for page_num, elements in enumerate(pages, 1):
-        height = heights[page_num - 1] if page_num - 1 < len(heights) else DEFAULT_PAGE_HEIGHT
-        body += annotate.render_page(elements, page_num, height)
+    body = "".join(
+        annotate.render_page(
+            elements,
+            page_num,
+            heights[page_num - 1] if page_num - 1 < len(heights) else DEFAULT_PAGE_HEIGHT,
+        )
+        for page_num, elements in enumerate(pages, 1)
+    )
 
     body = textnorm.merge_hyphenated_words_loose(body)
 

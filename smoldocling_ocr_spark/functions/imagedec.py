@@ -1,16 +1,19 @@
-"""Image decoding with no codec library: baseline JPEG and GIF (PNG/BMP
-live in operators/multimodal.py next to the header sniffing).
+"""Image decoding with no codec library: baseline + progressive JPEG and
+GIF (PNG/BMP live in operators/multimodal.py next to the header sniffing).
 
-JPEG scope: baseline sequential DCT (SOF0), 8-bit, grayscale / 4:4:4 /
-4:2:0 / 4:2:2 chroma subsampling, optional restart markers. Progressive
-(SOF2), arithmetic coding, and 12-bit depth raise NotImplementedError —
-callers fall back to the declared codec stub path. GIF scope: 87a/89a
-first frame, global/local palettes, interlace, LZW with table resets.
+JPEG scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2 —
+spectral selection + successive approximation, DC/AC first and refinement
+scans, per-scan Huffman table redefinition, EOB runs), 8-bit, grayscale /
+4:4:4 / 4:2:0 / 4:2:2 chroma subsampling, optional restart markers.
+Arithmetic coding and 12-bit depth raise NotImplementedError — callers
+fall back to the declared codec stub path. GIF scope: 87a/89a first frame,
+global/local palettes, interlace, LZW with table resets.
 
 Reference context: the reference opens images with PIL for OCR input and
 metadata (app.py:94-119, metadata_extractor.py:148-207). This sandbox has
-no PIL/libjpeg, but baseline JPEG needs none: entropy decode is a Huffman
-bit reader, and the 8×8 inverse DCT is one numpy basis multiply per block.
+no PIL/libjpeg, but JPEG needs none: entropy decode is a Huffman bit
+reader, progressive scans are coefficient accumulation per ITU T.81 §G.2,
+and the 8×8 inverse DCT is one batched numpy basis multiply.
 """
 
 from __future__ import annotations
@@ -98,121 +101,35 @@ def _extend(value: int, magnitude: int) -> int:
     return value
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → HxWx3 uint8 RGB."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _Huffman] = {}  # (class, id)
-    comps: list[dict[str, Any]] = []
-    width = height = 0
-    restart_interval = 0
-    i = 2
-    n = len(payload)
-    scan: bytes | None = None
-    scan_map: list[tuple[int, int]] = []  # per component (dc_id, ac_id)
-    while i + 4 <= n:
-        if payload[i] != 0xFF:
-            i += 1
-            continue
-        marker = payload[i + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
-        seg = payload[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 0xF
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tq] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int32)
-                j += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError("non-8-bit precision")
-            height, width = struct.unpack(">HH", seg[1:5])
-            nc = seg[5]
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"non-baseline SOF marker 0xFF{marker:02X}")
-        elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0xF
-                counts = seg[j + 1 : j + 17]
-                total = sum(counts)
-                symbols = seg[j + 17 : j + 17 + total]
-                huff[(tc, th)] = _Huffman(counts, symbols)
-                j += 17 + total
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
-            ns = seg[0]
-            scan_map = []
-            for c in range(ns):
-                _cs, tables = seg[1 + 2 * c : 3 + 2 * c]
-                scan_map.append((tables >> 4, tables & 0xF))
-            # entropy data runs from after the header to EOI; unstuff FF00
-            j = i + 2 + seg_len
-            raw = bytearray()
-            while j < n - 1:
-                b = payload[j]
-                if b == 0xFF:
-                    nxt = payload[j + 1]
-                    if nxt == 0x00:
-                        raw.append(0xFF)
-                        j += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:  # restart marker: keep a sentinel
-                        raw.append(0xFF)
-                        raw.append(nxt)
-                        j += 2
-                        continue
-                    break  # EOI or next marker
-                raw.append(b)
-                j += 1
-            scan = bytes(raw)
-            break
-        i += 2 + seg_len
-    if scan is None or not comps:
-        raise ValueError("no scan data")
+def _maybe_restart(reader: _BitReader, mcu_count: int, restart_interval: int) -> bool:
+    """At a restart boundary: byte-align, skip the RSTn sentinel, signal reset."""
+    if not (restart_interval and mcu_count and mcu_count % restart_interval == 0):
+        return False
+    reader.align()
+    if (
+        reader.pos + 1 < len(reader.data)
+        and reader.data[reader.pos] == 0xFF
+        and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+    ):
+        reader.pos += 2
+    return True
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64) for c in comps
-    ]
-    pred = [0] * len(comps)
-    reader = _BitReader(scan)
+def _decode_baseline_scan(reader, comps, comp_idx, scan_map, huff, coef, mcux, mcuy, restart_interval):
+    """Interleaved DC+AC sequential scan (SOF0) → zigzag coefficients."""
+    pred = {ci: 0 for ci in comp_idx}
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align()
-                # skip the restart marker sentinel
-                if (
-                    reader.pos + 1 < len(reader.data)
-                    and reader.data[reader.pos] == 0xFF
-                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-                ):
-                    reader.pos += 2
-                pred = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                dc_tab = huff[(0, scan_map[ci][0])]
-                ac_tab = huff[(1, scan_map[ci][1])]
-                q = qt[comp["tq"]]
+            if _maybe_restart(reader, mcu_count, restart_interval):
+                pred = {ci: 0 for ci in comp_idx}
+            for si, ci in enumerate(comp_idx):
+                comp = comps[ci]
+                dc_tab = huff[(0, scan_map[si][0])]
+                ac_tab = huff[(1, scan_map[si][1])]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = coef[ci][my * comp["v"] + by, mx * comp["h"] + bx]
                         mag = reader.decode(dc_tab)
                         diff = _extend(reader.read_bits(mag), mag)
                         pred[ci] += diff
@@ -231,20 +148,272 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 break
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        coeffs[ZIGZAG] = zz * q
-                        block = _A.T @ coeffs.reshape(8, 8) @ _A
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution and crop
+
+def _decode_dc_scan(reader, comps, comp_idx, scan_map, huff, coef, mcux, mcuy, restart_interval, ah, al, true_blocks):
+    """Progressive DC scan (Ss=0): first pass (Ah=0) or refinement bit."""
+    pred = {ci: 0 for ci in comp_idx}
+    if len(comp_idx) > 1:  # interleaved over the MCU grid
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if _maybe_restart(reader, mcu_count, restart_interval):
+                    pred = {ci: 0 for ci in comp_idx}
+                for si, ci in enumerate(comp_idx):
+                    comp = comps[ci]
+                    dc_tab = huff.get((0, scan_map[si][0]))
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = coef[ci][my * comp["v"] + by, mx * comp["h"] + bx]
+                            if ah == 0:
+                                mag = reader.decode(dc_tab)
+                                pred[ci] += _extend(reader.read_bits(mag), mag)
+                                zz[0] = pred[ci] << al
+                            elif reader.read_bit():
+                                zz[0] |= 1 << al
+                mcu_count += 1
+    else:  # non-interleaved: MCU = one block of the single component
+        ci = comp_idx[0]
+        dc_tab = huff.get((0, scan_map[0][0]))
+        rows, cols = true_blocks[ci]
+        count = 0
+        for by in range(rows):
+            for bx in range(cols):
+                if _maybe_restart(reader, count, restart_interval):
+                    pred = {ci: 0}
+                zz = coef[ci][by, bx]
+                if ah == 0:
+                    mag = reader.decode(dc_tab)
+                    pred[ci] += _extend(reader.read_bits(mag), mag)
+                    zz[0] = pred[ci] << al
+                elif reader.read_bit():
+                    zz[0] |= 1 << al
+                count += 1
+
+
+def _decode_ac_scan(reader, scan_map, huff, coef_c, ss, se, ah, al, rows, cols, restart_interval):
+    """Progressive AC scan (single component) per T.81 §G.2 — spectral band
+    [Ss, Se], first pass (Ah=0) with EOB runs, or refinement (Ah>0) with
+    correction bits (the libjpeg decode_mcu_AC_refine control flow)."""
+    ac_tab = huff[(1, scan_map[0][1])]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    count = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if _maybe_restart(reader, count, restart_interval):
+                eobrun = 0
+            count += 1
+            zz = coef_c[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        break
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: skip over 16 zero-history coefficients
+                    else:  # s == 1: a coefficient newly becomes ±1<<Al
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        cur = int(zz[k])
+                        if cur != 0:
+                            if reader.read_bit() and (cur & p1) == 0:
+                                zz[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun:
+                # EOB region: correction bits for remaining nonzero coeffs
+                while k <= se:
+                    cur = int(zz[k])
+                    if cur != 0 and reader.read_bit() and (cur & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes (baseline SOF0 or progressive SOF2) → HxWx3 uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huffman] = {}  # (class, id)
+    comps: list[dict[str, Any]] = []
+    width = height = 0
+    restart_interval = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per comp (by, bx, 64) zigzag int32
+    true_blocks: list[tuple[int, int]] = []  # per comp (rows, cols) of real blocks
+    mcux = mcuy = 0
+    got_scan = False
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int32)
+                j += 65
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("non-8-bit precision")
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            coef = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps
+            ]
+            true_blocks = [
+                (
+                    (-(-height * c["v"] // vmax) + 7) // 8,
+                    (-(-width * c["h"] // hmax) + 7) // 8,
+                )
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"unsupported SOF marker 0xFF{marker:02X}")
+        elif marker == 0xC4:  # DHT (may be redefined between progressive scans)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                counts = seg[j + 1 : j + 17]
+                total = sum(counts)
+                symbols = seg[j + 17 : j + 17 + total]
+                huff[(tc, th)] = _Huffman(counts, symbols)
+                j += 17 + total
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — decode this scan in place, then continue
+            if coef is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            cid_to_idx = {c["id"]: idx for idx, c in enumerate(comps)}
+            comp_idx: list[int] = []
+            scan_map: list[tuple[int, int]] = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c : 3 + 2 * c]
+                comp_idx.append(cid_to_idx[cs])
+                scan_map.append((tables >> 4, tables & 0xF))
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            # entropy data runs to the next non-RST marker; unstuff FF00
+            j = i + 2 + seg_len
+            raw = bytearray()
+            while j < n - 1:
+                b = payload[j]
+                if b == 0xFF:
+                    nxt = payload[j + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # restart marker: keep a sentinel
+                        raw.append(0xFF)
+                        raw.append(nxt)
+                        j += 2
+                        continue
+                    break  # next real marker
+                raw.append(b)
+                j += 1
+            reader = _BitReader(bytes(raw))
+            if not progressive:
+                _decode_baseline_scan(
+                    reader, comps, comp_idx, scan_map, huff, coef, mcux, mcuy, restart_interval
+                )
+            elif ss == 0:
+                _decode_dc_scan(
+                    reader, comps, comp_idx, scan_map, huff, coef,
+                    mcux, mcuy, restart_interval, ah, al, true_blocks,
+                )
+            else:
+                ci = comp_idx[0]
+                rows, cols = true_blocks[ci]
+                _decode_ac_scan(
+                    reader, scan_map, huff, coef[ci], ss, se, ah, al, rows, cols, restart_interval
+                )
+            got_scan = True
+            i = j
+            continue
+        i += 2 + seg_len
+    if not got_scan or coef is None:
+        raise ValueError("no scan data")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    # dequantize + batched inverse DCT per component
+    inv_zigzag = np.argsort(ZIGZAG)
     full = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
-        full.append(p[:height, :width] + 128.0)
+        by, bx, _ = coef[ci].shape
+        dq = (coef[ci].reshape(-1, 64) * qt[comp["tq"]][None, :]).astype(np.float64)
+        blocks = dq[:, inv_zigzag].reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
+        plane = (
+            spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        full.append(plane[:height, :width] + 128.0)
+
     if len(full) == 1:
         gray = np.clip(full[0], 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)

@@ -60,6 +60,9 @@ DEFAULT_LANGUAGE = "en"
 # of a per-character Python loop (ranges are disjoint, so per-script regex
 # counts equal the reference's first-match-wins histogram).
 _LETTER_RE = re.compile(r"[^\W\d_]")  # unicode letters (== str.isalpha here)
+# a letter that is NOT ASCII — one search decides whether the histogram can
+# be anything other than {latin: n} without materializing the letters string
+_NONASCII_LETTER_RE = re.compile(r"(?![\x00-\x7f])[^\W\d_]")
 _SCRIPT_RES = {
     script: re.compile(f"[{chr(start)}-{chr(end)}]")
     for script, (start, end) in SCRIPT_RANGES.items()
@@ -74,14 +77,15 @@ def detect_script(text: str) -> tuple[str, float]:
         if _LETTER_RE.search(text) is None:
             return "unknown", 0.0
         return "latin", 1.0
-    letters = "".join(_LETTER_RE.findall(text))
-    if not letters:
-        return "unknown", 0.0
     # second fast path: pages whose only non-ASCII chars are punctuation
     # (unicode dashes/quotes are everywhere in web text) still have all-
-    # ASCII LETTERS — histogram is {latin: n}, conf 1.0, same as full scan
-    if letters.isascii():
+    # ASCII LETTERS — histogram is {latin: n}, conf 1.0, same as full scan.
+    # One search replaces materializing the letters string for this case.
+    if _NONASCII_LETTER_RE.search(text) is None:
+        if _LETTER_RE.search(text) is None:
+            return "unknown", 0.0
         return "latin", 1.0
+    letters = "".join(_LETTER_RE.findall(text))
     counts: Counter[str] = Counter()
     for script, pattern in _SCRIPT_RES.items():
         n = len(pattern.findall(letters))

@@ -139,6 +139,21 @@ def classify_role_enhanced(
     bbox = elem.get("bbox") or (0.0, 0.0, 0.0, 0.0)
     if not text:
         return "paragraph", 0.5
+    n = len(text)
+
+    # list-item early exits (pure text checks — run before any signal math)
+    if text.startswith(_BULLET_PREFIXES):
+        return "list_item", 0.95
+    if n >= 3 and text[0].isdigit():
+        i = 0
+        while i < n and text[i].isdigit():
+            i += 1
+        if i < n - 1 and text[i] in ".):" and text[i + 1] == " ":
+            if n < 80:
+                return "list_item", 0.9
+            # long numbered lines fall through as numbered headings
+    if n > 2 and text[0].isalpha() and text[1:3] in (". ", ") ", ": ") and n < 80:
+        return "list_item", 0.85
 
     height = bbox[3] - bbox[1] if len(bbox) >= 4 else 0.0
     avg_height = stats["avg_height"]
@@ -181,7 +196,6 @@ def classify_role_enhanced(
         cap_score = 0.2
 
     # length signal
-    n = len(text)
     if n < 50:
         len_score = 0.8
     elif n < 100:
@@ -190,20 +204,6 @@ def classify_role_enhanced(
         len_score = 0.2
     else:
         len_score = 0.0
-
-    # list-item early exits (before heading scoring)
-    if text.startswith(_BULLET_PREFIXES):
-        return "list_item", 0.95
-    if len(text) >= 3 and text[0].isdigit():
-        i = 0
-        while i < len(text) and text[i].isdigit():
-            i += 1
-        if i < len(text) - 1 and text[i] in ".):" and text[i + 1] == " ":
-            if n < 80:
-                return "list_item", 0.9
-            # long numbered lines fall through as numbered headings
-    if len(text) > 2 and text[0].isalpha() and text[1:3] in (". ", ") ", ": ") and n < 80:
-        return "list_item", 0.85
 
     # indentation signal
     indent_score = 0.0
@@ -224,7 +224,8 @@ def classify_role_enhanced(
         + indent_score * 0.05
     )
 
-    if any(text.lower().startswith(kw) for kw in _CAPTION_KEYWORDS):
+    lowered_head = text[:8].lower()  # longest keyword is 7 chars
+    if lowered_head.startswith(_CAPTION_KEYWORDS):
         return "caption", 0.85
 
     if bbox[1] > stats["page_height"] * 0.85 and height < avg_height * 0.8:

@@ -136,10 +136,17 @@ def normalize_heading_levels(text: str) -> str:
         return text
     min_level = min(len(m.group(1)) for m in headings)
     if min_level > 1:
+        # single-pass rebuild: splicing text[:start]+new+text[end:] per
+        # heading copies the whole document O(headings) times
         adj = min_level - 1
-        for h in reversed(headings):
-            new_h = "#" * (len(h.group(1)) - adj) + " " + h.group(2)
-            text = text[: h.start()] + new_h + text[h.end() :]
+        parts: list[str] = []
+        pos = 0
+        for h in headings:
+            parts.append(text[pos : h.start()])
+            parts.append("#" * (len(h.group(1)) - adj) + " " + h.group(2))
+            pos = h.end()
+        parts.append(text[pos:])
+        text = "".join(parts)
     return text
 
 

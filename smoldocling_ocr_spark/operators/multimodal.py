@@ -5,7 +5,7 @@ the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. No image library ships in this container;
 decode is nevertheless REAL for the formats that need no native codec:
 PNG (stdlib zlib + scanline unfiltering), uncompressed BMP, baseline JPEG
-and GIF (functions/imagedec.py). Progressive JPEG and exotic variants stay
+and GIF (functions/imagedec.py). Arithmetic-coded JPEG and exotic variants stay
 declared NotImplementedError stubs.
 
 Ops:
@@ -292,8 +292,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if fmt == "jpeg":
         from ..functions.imagedec import decode_jpeg
 
-        # baseline sequential only; progressive/arithmetic raise
-        # NotImplementedError from the decoder itself
+        # baseline (SOF0) and progressive (SOF2); arithmetic coding and
+        # 12-bit raise NotImplementedError from the decoder itself
         return decode_jpeg(payload)
     if fmt == "gif":
         from ..functions.imagedec import decode_gif

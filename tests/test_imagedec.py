@@ -245,14 +245,15 @@ def test_420_subsampled_roundtrip():
     assert decode_jpeg(encode_jpeg(odd, subsample=True)).shape == (41, 27, 3)
 
 
-def test_progressive_raises():
-    # minimal SOF2 header → declared unsupported
-    bad = (
-        b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
-        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    )
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bad)
+def test_unsupported_sof_raises():
+    # arithmetic-coded (SOF10) and lossless (SOF3) remain declared stubs
+    for sof in (0xCA, 0xC3):
+        bad = (
+            b"\xff\xd8\xff" + bytes([sof]) + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        )
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bad)
 
 
 def test_decode_image_routes_jpeg():
@@ -383,3 +384,263 @@ def test_wav_decode_and_features():
 
     with _pytest.raises(ValueError):
         decode_audio(b"RIFFxxxxNOPE")
+
+
+# --- progressive JPEG --------------------------------------------------------
+# Independent in-test progressive encoder (ITU T.81 §G.1 / libjpeg
+# cjpeg-style): DC first + refinement, per-band AC first with EOB runs,
+# two AC successive-approximation refinement passes with correction bits.
+
+_PROG_AC_SYMBOLS = bytes(
+    [(r << 4) for r in range(16)] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC = (
+    bytes([0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]),
+    _PROG_AC_SYMBOLS,
+)
+
+
+class _ProgScanWriter:
+    """Per-scan entropy writer with EOB-run and correction-bit buffering."""
+
+    def __init__(self, ac: dict):
+        self.bw = _BitWriter()
+        self.ac = ac
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def sym(self, symbol: int) -> None:
+        l, c = self.ac[symbol]
+        self.bw.write(c, l)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.pending_bits = []
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.pad()
+        return bytes(self.bw.out)
+
+
+def _quantize_all(px: np.ndarray):
+    """Pixels → per-component list of (rows, cols, zigzag int coeff blocks)."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    if gray:
+        planes = [np.pad(px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in (y, cb, cr)]
+    comps = []
+    for p in planes:
+        rows, cols = ph // 8, pw // 8
+        zz = np.zeros((rows, cols, 64), dtype=np.int64)
+        for by in range(rows):
+            for bx in range(cols):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = _A @ (block - 128.0) @ _A.T
+                zz[by, bx] = np.round(coeffs.reshape(-1)[ZIGZAG] / QTAB).astype(np.int64)
+        comps.append(zz)
+    return comps
+
+
+def encode_jpeg_progressive(px: np.ndarray) -> bytes:
+    """Progressive (SOF2) encoder, 4:4:4 or grayscale, scan script:
+    DC first (Al=1) → per-component AC first bands 1-5 / 6-63 (Al=2) →
+    AC refinements Al 2→1 and 1→0 per band → DC refinement (Al=0)."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    nc = 1 if gray else 3
+    comps = _quantize_all(px)
+    rows, cols = comps[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(int(v) for v in QTAB))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC2, sof)
+    seg(0xC4, bytes([0x00]) + DC_LUM[0] + DC_LUM[1])
+    seg(0xC4, bytes([0x10]) + PROG_AC[0] + PROG_AC[1])
+    dc_codes = _codes(*DC_LUM)
+    ac_codes = _codes(*PROG_AC)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    # --- DC first (interleaved, Al=1) ---
+    sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for by in range(rows):
+        for bx in range(cols):
+            for ci in range(nc):
+                dc = int(comps[ci][by, bx, 0]) >> 1
+                s, bits = _category(dc - pred[ci])
+                l, c = dc_codes[s]
+                bw.write(c, l)
+                if s:
+                    bw.write(bits, s)
+                pred[ci] = dc
+    bw.pad()
+    out.extend(bw.out)
+
+    # --- AC scans per component ---
+    bands = [(1, 5), (6, 63)]
+    for ci in range(nc):
+        for ss, se in bands:  # first pass at Al=2
+            sw = _ProgScanWriter(ac_codes)
+            for by in range(rows):
+                for bx in range(cols):
+                    zz = comps[ci][by, bx]
+                    run = 0
+                    wrote = False
+                    for k in range(ss, se + 1):
+                        t = int(zz[k])
+                        neg = t < 0
+                        t = (-t if neg else t) >> 2
+                        if t == 0:
+                            run += 1
+                            continue
+                        sw.flush_eobrun()
+                        while run > 15:
+                            sw.sym(0xF0)
+                            run -= 16
+                        s = t.bit_length()
+                        sw.sym((run << 4) | s)
+                        bits = (~t if neg else t) & ((1 << s) - 1)
+                        sw.bw.write(bits, s)
+                        run = 0
+                        wrote = True
+                    if run or not wrote:
+                        sw.eobrun += 1
+                        if sw.eobrun == 0x7FFF:
+                            sw.flush_eobrun()
+            sos_header([ci + 1], ss, se, 0, 2)
+            out.extend(sw.finish())
+    for ah in (2, 1):  # refinement passes Al: 2->1, 1->0
+        al = ah - 1
+        for ci in range(nc):
+            for ss, se in bands:
+                sw = _ProgScanWriter(ac_codes)
+                for by in range(rows):
+                    for bx in range(cols):
+                        zz = comps[ci][by, bx]
+                        absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                        # last coefficient that newly becomes nonzero this pass
+                        eob = 0
+                        for idx, t in enumerate(absval):
+                            if t == 1:
+                                eob = idx + 1
+                        run = 0
+                        br: list[int] = []
+                        for idx, t in enumerate(absval):
+                            if t == 0:
+                                run += 1
+                                continue
+                            if t > 1:  # already nonzero: correction bit
+                                br.append(t & 1)
+                                continue
+                            # t == 1: newly nonzero coefficient
+                            while run > 15 and idx < eob:
+                                sw.flush_eobrun()
+                                sw.sym(0xF0)
+                                run -= 16
+                                for b in br:
+                                    sw.bw.write(b, 1)
+                                br = []
+                            sw.flush_eobrun()
+                            sw.sym((run << 4) | 1)
+                            sw.bw.write(0 if int(zz[ss + idx]) < 0 else 1, 1)
+                            for b in br:
+                                sw.bw.write(b, 1)
+                            br = []
+                            run = 0
+                        if run or br:
+                            sw.eobrun += 1
+                            sw.pending_bits.extend(br)
+                            if sw.eobrun == 0x7FFF:
+                                sw.flush_eobrun()
+                sos_header([ci + 1], ss, se, ah, al)
+                out.extend(sw.finish())
+
+    # --- DC refinement (interleaved, Ah=1, Al=0) ---
+    sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(rows):
+        for bx in range(cols):
+            for ci in range(nc):
+                bw.write(int(comps[ci][by, bx, 0]) & 1, 1)
+    bw.pad()
+    out.extend(bw.out)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_progressive_matches_baseline_exactly():
+    """Progressive decode must reconstruct the SAME quantized coefficients
+    as the sequential scan of the same image — successive approximation is
+    lossless once all passes land — so the decoded pixels are bit-identical
+    to the baseline decode."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [(xx * 7) % 256, (yy * 5 + xx) % 256, ((xx * yy) // 3) % 256], axis=2
+    ).astype(np.uint8)
+    prog = encode_jpeg_progressive(px)
+    base = encode_jpeg(px)
+    assert b"\xff\xc2" in prog  # really SOF2
+    got_prog = decode_jpeg(prog)
+    got_base = decode_jpeg(base)
+    assert got_prog.shape == px.shape
+    assert np.array_equal(got_prog, got_base)
+    assert _psnr(px, got_prog) > 28.0
+
+
+def test_progressive_grayscale_and_sparse():
+    """Grayscale progressive + a sparse image exercising long EOB runs and
+    ZRL paths in both encoder and decoder."""
+    rng = np.random.default_rng(11)
+    gray = np.zeros((40, 40), dtype=np.uint8)
+    gray[13, 29] = 255  # one spike -> long zero runs, many EOB-run blocks
+    gray[30:33, 5:9] = 180
+    got = decode_jpeg(encode_jpeg_progressive(gray))
+    base = decode_jpeg(encode_jpeg(gray))
+    assert np.array_equal(got, base)
+
+    noisy = rng.integers(0, 256, size=(17, 23)).astype(np.uint8)  # odd dims
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(noisy)), decode_jpeg(encode_jpeg(noisy))
+    )
+
+
+def test_progressive_via_decode_image():
+    from smoldocling_ocr_spark.operators.multimodal import decode_image, sniff_media
+
+    px = np.full((8, 8, 3), 77, dtype=np.uint8)
+    data = encode_jpeg_progressive(px)
+    assert sniff_media(data)[0] == "jpeg"
+    got = decode_image(data)
+    assert got.shape == (8, 8, 3)
+    assert int(np.abs(got.astype(int) - 77).max()) <= 2
