@@ -198,6 +198,123 @@ def lsh_verified_pairs(
     )
 
 
+def _assign_expr(centroids: list[list[float]]):
+    """Nearest-centroid (max cosine) assignment as ONE JVM-side expression:
+    scores = [cos(embedding, c_j)]; list_id = first argmax. No shuffle, no
+    N×k row explosion — the broadcastable state is the centroid literals."""
+    scores = F.array(
+        *[
+            _cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+    # array_position is 1-based; ties resolve to the first (deterministic)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = IVF_N_LISTS, iters: int = 4
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's k-means over the embedding column, the Spark-iterative shape:
+    per iteration ONE partial-aggregating groupBy job (k×DIM avg aggregates,
+    map-side combine — no explode, no N×k shuffle rows) plus a k-row driver
+    collect that becomes the next broadcast. Deterministic: seeds are the k
+    lowest vec_ids, assignment ties take the lowest list id.
+
+    Returns (centroids, inertia_history) where inertia is the mean cosine
+    DISTANCE (1 − similarity) to the assigned centroid — monotone
+    non-increasing under Lloyd iterations up to the mean-vs-cosine
+    re-normalization (asserted with tolerance in tests).
+
+    At 10⁹ vectors this is k·DIM·P partial states per executor and k rows
+    to the driver per iteration — the same plan shape at any scale."""
+    seed_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    centroids = [[float(v) for v in r.embedding] for r in seed_rows]
+    history: list[float] = []
+    for _ in range(iters):
+        # materialize the score array ONCE per row, derive assignment and
+        # best-similarity from it (no duplicate 64-dim cosine evaluation)
+        scored = emb.select(
+            F.array(
+                *[
+                    _cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c]))
+                    for c in centroids
+                ]
+            ).alias("scores"),
+            "embedding",
+        )
+        agg = (
+            scored.select(
+                (F.array_position(F.col("scores"), F.array_max("scores")) - 1)
+                .cast("int")
+                .alias("list_id"),
+                F.array_max("scores").alias("best"),
+                "embedding",
+            )
+            .groupBy("list_id")
+            .agg(
+                F.count("*").alias("members"),
+                F.avg(F.lit(1.0) - F.col("best")).alias("mean_dist"),
+                *[
+                    F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
+                    for i in range(DIM)
+                ],
+            )
+            .collect()
+        )
+        total = sum(r["members"] for r in agg)
+        history.append(sum(r["mean_dist"] * r["members"] for r in agg) / total)
+        new_centroids = list(centroids)  # empty lists keep their old centroid
+        for r in agg:
+            new_centroids[r["list_id"]] = [r[f"c{i}"] for i in range(DIM)]
+        centroids = new_centroids
+    return centroids, history
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    k: int = IVF_N_LISTS,
+    iters: int = 4,
+) -> DataFrame:
+    """IVF over LEARNED k-means lists instead of the label column: fit the
+    coarse quantizer (kmeans_fit), assign every vector its list with a
+    shuffle-free expression, then run the same probe→list-scan→top-k plan
+    as :func:`ivf_topk`. nprobe = k degenerates to brute force (invariant
+    pinned in tests)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=k, iters=iters)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["list_id", "cvec"]
+    )
+    listed = emb.withColumn("list_id", _assign_expr(centroids))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    psim = F.round(_cosine(F.col("qe"), F.col("cvec")), 5)
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qe", "list_id", psim.alias("psim"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qe", "list_id")
+    )
+    cand = listed.join(F.broadcast(probes), on="list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 5)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF search — the ANN scale path: a coarse quantizer (per-label
     centroids, computed as DIM per-dim avg aggregates in ONE groupBy
@@ -446,3 +563,9 @@ def register(query) -> None:
         and recorded in BENCH/BASELINE.md."""
         emb = read_table(spark, sf_dir, "embeddings")
         return lsh_verified_pairs(emb).orderBy("vec_a", "vec_b")
+
+    @query("ann_ivf_kmeans_topk")  # rows-only: iterative Lloyd fit (per-brief
+    # exemption for iterative algorithms); invariants pinned in pytest —
+    # inertia monotone, nprobe=k == brute force, separable-cluster recovery
+    def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return ivf_kmeans_topk(spark, sf_dir)

@@ -47,6 +47,7 @@ GATE_ROTATION_FIRST = [
     # never driver-checked before round 3
     "dedup_exact",  # oracle-backed; displaced by design in r2 (green in r1)
     "ann_lsh_verified_neardup",  # new in r3 (composed LSH→verify near-dup)
+    "ann_ivf_kmeans_topk",  # new in r3 (learned-quantizer IVF, rows-only)
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -60,6 +61,7 @@ GATE_ROTATION_LAST = [
     "hyphen_merge_strict",
     "pdf_date_parse_relational",
     "document_id_sha256",
+    "token_counting",
 ]
 
 

@@ -28,6 +28,20 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _footer_row_count(commit_dir: str) -> int:
+    """Row count of a written commit from parquet footer metadata — a
+    driver-side O(footers) read instead of a second full Spark scan of the
+    data just written. Real Iceberg gets the same number for free from the
+    snapshot summary (``total-records``)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(commit_dir, fn)).metadata.num_rows
+        for fn in os.listdir(commit_dir)
+        if fn.endswith(".parquet")
+    )
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -63,8 +77,7 @@ class SnapshotTable:
             for fn in os.listdir(commit_dir)
             if fn.endswith(".parquet")
         )
-        spark = df.sparkSession
-        row_count = spark.read.parquet(commit_dir).count()
+        row_count = _footer_row_count(commit_dir)
 
         parent = self.current_snapshot()
         manifest = {
@@ -94,13 +107,23 @@ class SnapshotTable:
         spark = df.sparkSession
         # real MERGE INTO raises when a target row matches more than one
         # source row; enforce source-key uniqueness instead of silently
-        # keeping duplicates in the snapshot
-        dup = df.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
+        # keeping duplicates in the snapshot. ONE partial-aggregating job
+        # (count / count(key) / count_distinct(key)) replaces the old
+        # groupBy-count-filter-collect probe PLUS the separate df.count() —
+        # the example-duplicate lookup runs only on the error path.
+        counts = df.agg(
+            F.count("*").alias("n"),
+            F.count(key).alias("nonnull"),
+            F.count_distinct(F.col(key)).alias("distinct"),
+        ).collect()[0]
+        n_nulls = counts["n"] - counts["nonnull"]
+        if counts["nonnull"] != counts["distinct"] or n_nulls > 1:
+            dup = df.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+            example = dup[0][key] if dup else None
             raise ValueError(
-                f"merge source has duplicate values for key {key!r} (e.g. {dup[0][key]!r})"
+                f"merge source has duplicate values for key {key!r} (e.g. {example!r})"
             )
-        source_rows = df.count()
+        source_rows = counts["n"]
         current = self.read(spark)
         merged = df if current is None else current.join(df.select(key), on=key, how="left_anti").unionByName(df)
 
@@ -112,7 +135,7 @@ class SnapshotTable:
             for fn in os.listdir(commit_dir)
             if fn.endswith(".parquet")
         )
-        row_count = spark.read.parquet(commit_dir).count()
+        row_count = _footer_row_count(commit_dir)
         parent = self.current_snapshot()
         manifest = {
             "snapshot_id": commit_id,
@@ -183,7 +206,7 @@ class SnapshotTable:
             for fn in os.listdir(commit_dir)
             if fn.endswith(".parquet")
         )
-        row_count = spark.read.parquet(commit_dir).count()
+        row_count = _footer_row_count(commit_dir)
         parent = self.current_snapshot()
         assert parent is not None
         if row_count != parent["total_rows"]:

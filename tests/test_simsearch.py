@@ -98,3 +98,58 @@ def test_ivf_recall_sweep_and_exhaustive_invariant(spark):
         print(f"ivf recall@3 nprobe={nprobe}: {hits}/{total} = {hits / total:.3f}")
     assert recalls == sorted(recalls)  # monotone in nprobe
     assert recalls[-1] == 1.0  # exhaustive probe == brute force
+
+
+def test_kmeans_ivf_invariants(spark):
+    """Learned-quantizer IVF (kmeans_fit + ivf_kmeans_topk), three
+    invariants replacing a data-dependent recall number:
+    (a) Lloyd inertia is monotone non-increasing across iterations (small
+        float tolerance for the mean-vs-cosine renormalization);
+    (b) probing ALL k lists reproduces brute-force top-k exactly;
+    (c) on cleanly separable clusters the fit recovers the partition."""
+    from pyspark.sql import Row
+    from smoldocling_ocr_spark.operators.simsearch import (
+        DIM,
+        IVF_N_LISTS,
+        _assign_expr,
+        ivf_kmeans_topk,
+        kmeans_fit,
+    )
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, history = kmeans_fit(emb, k=IVF_N_LISTS, iters=4)
+    assert len(history) == 4
+    for prev, cur in zip(history, history[1:]):
+        assert cur <= prev + 1e-6, f"inertia rose: {history}"
+
+    brute: dict[int, set[int]] = {}
+    for r in spark_queries()["ann_cosine_topk"](spark, SF_DIR).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exhaustive: dict[int, set[int]] = {}
+    for r in ivf_kmeans_topk(spark, SF_DIR, nprobe=IVF_N_LISTS).collect():
+        exhaustive.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert exhaustive == brute  # nprobe = k degenerates to brute force
+
+    # separable clusters: 3 orthogonal directions, tight noise
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = np.zeros(DIM)
+        v[c] = 10.0
+        v += rng.normal(0, 0.05, DIM)
+        rows.append(Row(vec_id=i, label=c, embedding=[float(x) for x in v]))
+    toy = spark.createDataFrame(rows)
+    centroids, hist = kmeans_fit(toy, k=3, iters=3)
+    assigned = toy.select(
+        "label", _assign_expr(centroids).alias("list_id")
+    ).collect()
+    # every true cluster maps to exactly one learned list
+    mapping: dict[int, set[int]] = {}
+    for r in assigned:
+        mapping.setdefault(r.label, set()).add(r.list_id)
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
