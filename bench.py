@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_verified_neardup",
     "embedding_cosine_neardup",
     "token_counting",
     "text_quality_scoring",

@@ -103,10 +103,11 @@ def test_decode_image_stub_and_fake():
     # truncated/markerless JPEG → decoder error, never a bogus array
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
-    # progressive JPEG (SOF2) → declared unsupported
+    # arithmetic-coded JPEG (SOF10) → declared unsupported
+    # (progressive SOF2 is a real decode path since r3 — test_imagedec.py)
     with pytest.raises(NotImplementedError):
         decode_image(
-            b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+            b"\xff\xd8\xff\xca" + struct.pack(">H", 11)
             + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
         )
     fake = decode_image(_png_bytes(8, 8), fake=True)
