@@ -5,11 +5,12 @@ generated PDFs through pymupdf4llm (text layer → markdown) instead of OCR.
 No PDF library ships in this sandbox, but the digital case needs no codec:
 content streams are FlateDecode (stdlib zlib) and the text operators are a
 small state machine (BT/ET, Tf, Td/TD/Tm/T*, Tj/TJ/'/"). This parser
-handles classic-xref, non-encrypted PDFs with uncompressed page trees — the
-common digitally-generated shape. Anything else (scanned, encrypted,
-object-stream xref) raises and the caller falls back to the text column,
-mirroring the reference's digital-vs-scan router (structure_engine.py:
-914-928).
+handles non-encrypted PDFs with classic page trees AND PDF 1.5+ object
+streams (/Type /ObjStm — modern writers put the page/catalog dictionaries
+there), page order from the catalog's /Pages /Kids walk, /Length-delimited
+stream slicing, and /Parent-inherited MediaBox. Anything else (scanned,
+encrypted) raises and the caller falls back to the text column, mirroring
+the reference's digital-vs-scan router (structure_engine.py:914-928).
 
 Output is positioned text spans grouped into line elements with bboxes, so
 the SAME downstream pipeline (column detection, XY-cut, roles, figures,
@@ -124,6 +125,44 @@ def _stream_data(obj: tuple[bytes, bytes | None]) -> bytes | None:
     return data
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Inline objects stored inside /Type /ObjStm streams (PDF 1.5+ —
+    modern writers put page/catalog dictionaries there, with only the
+    content streams as top-level objects). The stream body is `N` pairs of
+    ``objnum offset`` followed at /First by the concatenated object bodies;
+    embedded objects are plain dictionaries (streams are not allowed inside
+    an ObjStm), so they merge into the object map with no stream part.
+    Existing top-level definitions win (incremental updates override)."""
+    for num in list(objects):
+        head, _data = objects[num]
+        if not _OBJSTM_RE.search(head):
+            continue
+        try:
+            data = _stream_data(objects[num])
+        except Exception:
+            continue
+        if not data:
+            continue
+        n_m = _N_RE.search(head)
+        first_m = _FIRST_RE.search(head)
+        if not (n_m and first_m):
+            continue
+        count, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * count:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(count)]
+        for idx, (objnum, off) in enumerate(pairs):
+            end = pairs[idx + 1][1] if idx + 1 < count else len(data) - first
+            body = data[first + off : first + end]
+            objects.setdefault(objnum, (body, None))
+
+
 def _page_order(payload: bytes, objects: dict[int, tuple[bytes, bytes | None]]) -> list[int] | None:
     """Document page order from the catalog's /Pages tree (/Kids walk).
 
@@ -163,6 +202,31 @@ def _page_order(payload: bytes, objects: dict[int, tuple[bytes, bytes | None]]) 
     return order or None
 
 
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
+def _inherited_mediabox(
+    body: bytes, objects: dict[int, tuple[bytes, bytes | None]]
+) -> tuple[float, float]:
+    """/MediaBox on the page, else inherited up the /Parent chain (T.81 PDF
+    32000-1 §7.7.3.4 inheritable attribute — real writers routinely put one
+    MediaBox on the root /Pages node only), else US letter."""
+    seen: set[int] = set()
+    while True:
+        mb = _MEDIABOX_RE.search(body)
+        if mb:
+            x0, y0, x1, y1 = (float(mb.group(i)) for i in (1, 2, 3, 4))
+            return (x1 - x0, y1 - y0)
+        parent = _PARENT_RE.search(body)
+        if not parent:
+            return DEFAULT_MEDIABOX
+        num = int(parent.group(1))
+        if num in seen or num not in objects:
+            return DEFAULT_MEDIABOX
+        seen.add(num)
+        body = objects[num][0]
+
+
 def _page_specs(
     payload: bytes, objects: dict[int, tuple[bytes, bytes | None]]
 ) -> list[tuple[list[int], tuple[float, float]]]:
@@ -182,13 +246,7 @@ def _page_specs(
             ref = _CONTENTS_REF_RE.search(body)
             if ref:
                 refs = [int(ref.group(1))]
-        mb = _MEDIABOX_RE.search(body)
-        if mb:
-            x0, y0, x1, y1 = (float(mb.group(i)) for i in (1, 2, 3, 4))
-            dims = (x1 - x0, y1 - y0)
-        else:
-            dims = DEFAULT_MEDIABOX
-        pages.append((refs, dims))
+        pages.append((refs, _inherited_mediabox(body, objects)))
     return pages
 
 
@@ -366,9 +424,10 @@ def extract_pdf_pages(payload: bytes) -> tuple[list[list[dict[str, Any]]], list[
     if b"/Encrypt" in payload:
         raise ValueError("encrypted PDF — no text layer accessible")
     objects = _objects(payload)
+    _expand_object_streams(objects)
     specs = _page_specs(payload, objects)
     if not specs:
-        raise ValueError("no page objects found (object-stream xref?)")
+        raise ValueError("no page objects found")
     pages: list[list[dict[str, Any]]] = []
     dims: list[tuple[float, float]] = []
     for refs, (width, height) in specs:
@@ -437,7 +496,11 @@ def pdf_info(payload: bytes) -> dict[str, str]:
     m = _INFO_REF_RE.search(payload)
     if not m:
         return {}
-    obj = _objects(payload).get(int(m.group(1)))
+    objects = _objects(payload)
+    obj = objects.get(int(m.group(1)))
+    if obj is None:
+        _expand_object_streams(objects)
+        obj = objects.get(int(m.group(1)))
     if obj is None:
         return {}
     body = obj[0]

@@ -269,3 +269,50 @@ def test_pdf_info_utf16be_strings():
         b"trailer\n<< /Root 1 0 R /Info 9 0 R >>\n%%EOF",
     )
     assert pdf_info(payload) == {"title": title, "author": "Plain"}
+
+
+def test_pdf_object_streams_expanded():
+    """PDF 1.5+ object streams: catalog/pages/page dictionaries live inside
+    a Flate-compressed /Type /ObjStm; only the content stream is a
+    top-level object — the overwhelmingly common modern-writer shape."""
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 /MediaBox [0 0 612 792] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R /MediaBox [0 0 595 842] >>",
+    }
+    header = bytearray()
+    bodies = bytearray()
+    for num, body in inner.items():
+        header += b"%d %d " % (num, len(bodies))
+        bodies += body + b" "
+    first = len(header)
+    stm = zlib.compress(bytes(header) + bytes(bodies))
+    payload = _pdf(
+        {
+            7: b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (len(inner), first, len(stm)) + stm + b"\nendstream",
+            4: _content_obj(b"BT /F1 14 Tf 72 700 Td (From objstm page one) Tj ET", flate=True),
+            6: _content_obj(b"BT /F1 14 Tf 72 700 Td (From objstm page two) Tj ET"),
+        }
+    ) + b"\ntrailer\n<< /Root 1 0 R >>\n"
+    pages, dims = extract_pdf_pages(payload)
+    assert [p[0]["content"] for p in pages] == [
+        "From objstm page one",
+        "From objstm page two",
+    ]
+    # page 1 inherits MediaBox from the /Pages parent; page 2 overrides it
+    assert dims == [(612.0, 792.0), (595.0, 842.0)]
+
+
+def test_pdf_mediabox_inherited_from_parent():
+    payload = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 500 700] >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: _content_obj(b"BT /F1 12 Tf 72 600 Td (inherited box) Tj ET"),
+        }
+    ) + b"\ntrailer\n<< /Root 1 0 R >>\n"
+    _, dims = extract_pdf_pages(payload)
+    assert dims == [(500.0, 700.0)]
