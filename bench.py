@@ -228,15 +228,18 @@ def main() -> None:
     spark.stop()
 
     # N->4N scaling evidence runs by DEFAULT (the north-rule criterion must
-    # land in every BENCH_rN.json): 3 paired rounds — an odd count so the
-    # published number is the true plain-median round — skipped only with
-    # BENCH_SCALING=0. The workload must be large enough that per-job fixed
-    # overhead (scheduling, scan task launch) is negligible at the FAST
-    # config — target >= 15s of work at 4N cores.
+    # land in every BENCH_rN.json): 5 paired rounds — an odd count so the
+    # published number is the true plain-median round, and enough rounds
+    # that the median survives up to two externally-loaded rounds (observed:
+    # a run where 2 of 3 rounds saw ~70% host interference at the wide
+    # config; all per-round vectors are published so such episodes are
+    # visible). Skipped only with BENCH_SCALING=0. The workload must be
+    # large enough that per-job fixed overhead (scheduling, scan task
+    # launch) is negligible at the FAST config — target >= 15s at 4N cores.
     if os.environ.get("BENCH_SCALING") != "0":
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
-        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
         try:
             result["scaling"] = {
                 "scaling_docs": scale_docs,
