@@ -124,7 +124,7 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
     host's transient load, and contributes one paired efficiency ratio.
 
     The published numbers come from the PLAIN MEDIAN round by per-round
-    normalized efficiency (default 3 rounds → the true middle round; for an
+    normalized efficiency (default 5 rounds → the true middle round; for an
     even round count the LOWER middle is taken, the conservative choice).
     Every round's raw/normalized/ceiling values and per-config rates are
     published alongside so the spread — and any polluted round — is visible
@@ -132,8 +132,24 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
     from smoldocling_ocr_spark.session import get_spark
 
+    def wait_for_quiet(threshold: float = 2.0, max_wait: float = 150.0) -> float:
+        """Wait (bounded) for the 1-min loadavg to drop below threshold
+        before starting a round — outside tenants on this host have been
+        measured suppressing BOTH widths ~40%. This gates when a
+        measurement STARTS, never which result is kept; the load at round
+        start is published so an un-quiet round is visible."""
+        waited = 0.0
+        while waited < max_wait:
+            load = os.getloadavg()[0]
+            if load < threshold:
+                return load
+            time.sleep(10.0)
+            waited += 10.0
+        return os.getloadavg()[0]
+
     measured: list[dict] = []
     for _ in range(rounds):
+        start_load = wait_for_quiet()
         rates: dict[int, tuple[float, float]] = {}
         for cores in (8, 32):
             s = get_spark(app_name=f"bench_scale_{cores}", cores=cores)
@@ -154,6 +170,7 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
                 "rates": rates,
                 "eff": eff,
                 "ceiling": ceiling,
+                "start_load": start_load,
                 # normalize WITHIN the round: the ceiling was measured back-
                 # to-back with this round's Spark runs, so they share the
                 # host's transient load — dividing a quiet round's eff by a
@@ -171,6 +188,7 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
             for cores, (rate, sec) in med["rates"].items()
         },
         "round_efficiencies": [round(r["eff"], 4) for r in measured],
+        "round_start_loads": [round(r["start_load"], 2) for r in measured],
         "round_normalized": [round(r["normalized"], 4) for r in measured],
         "round_ceilings": [round(r["ceiling"], 4) for r in measured],
         "round_rates_8": [round(r["rates"][8][0], 1) for r in measured],
