@@ -144,12 +144,34 @@ def register(query) -> None:
             F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
         ).cast("int")
         prefix = docsets.select(
-            "doc_id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
+            "doc_id",
+            "sz",
+            F.posexplode(F.slice("shs", F.lit(1), prefix_len)).alias("pos", "sh"),
         )
         a = prefix.alias("a")
         b = prefix.alias("b")
+        t = JACCARD_THRESHOLD
+        # PPJoin+ pruning in the join condition (both exact — verification
+        # below is the ground truth, these only shrink the candidate set):
+        # * length filter: J >= t forces t·max(|A|,|B|) <= min(|A|,|B|)
+        # * positional filter: for the EARLIEST common prefix shingle at
+        #   (pos_a, pos_b) under the shared global rarest-first order, total
+        #   overlap <= min(sz_a - pos_a, sz_b - pos_b); J >= t needs overlap
+        #   >= ceil(t/(1+t)·(sz_a+sz_b)). Later matches only tighten the
+        #   bound, so any-match-passes == earliest-match-passes. The 1e-9
+        #   slack keeps float ceil from over-pruning an exact boundary.
+        alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9))
         cand = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.greatest("a.sz", "b.sz") * t <= F.least("a.sz", "b.sz"))
+                & (
+                    F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+                    >= alpha
+                ),
+            )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
