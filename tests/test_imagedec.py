@@ -548,28 +548,33 @@ def encode_jpeg_progressive(px: np.ndarray) -> bytes:
                     for bx in range(cols):
                         zz = comps[ci][by, bx]
                         absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
-                        # last coefficient that newly becomes nonzero this pass
-                        eob = 0
+                        # index of the LAST coefficient newly nonzero this
+                        # pass (libjpeg's EOB); ZRLs are emitted only within
+                        # this span — beyond it they fold into the EOB run
+                        eob_idx = -1
                         for idx, t in enumerate(absval):
                             if t == 1:
-                                eob = idx + 1
+                                eob_idx = idx
                         run = 0
                         br: list[int] = []
                         for idx, t in enumerate(absval):
                             if t == 0:
                                 run += 1
                                 continue
-                            if t > 1:  # already nonzero: correction bit
-                                br.append(t & 1)
-                                continue
-                            # t == 1: newly nonzero coefficient
-                            while run > 15 and idx < eob:
+                            # libjpeg jcphuff.c: the ZRL check runs at EVERY
+                            # nonzero (corrections included) so buffered
+                            # correction bits flush inside the right span
+                            while run > 15 and idx <= eob_idx:
                                 sw.flush_eobrun()
                                 sw.sym(0xF0)
                                 run -= 16
                                 for b in br:
                                     sw.bw.write(b, 1)
                                 br = []
+                            if t > 1:  # already nonzero: correction bit
+                                br.append(t & 1)
+                                continue
+                            # t == 1: newly nonzero coefficient
                             sw.flush_eobrun()
                             sw.sym((run << 4) | 1)
                             sw.bw.write(0 if int(zz[ss + idx]) < 0 else 1, 1)
