@@ -262,3 +262,33 @@ def test_aqe_skew_join_splits_hot_domain(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_verified_neardup_no_cartesian(spark):
+    """The composed LSH→verify near-dup must form candidates via equi joins
+    on band keys — never a cartesian/nested-loop pair enumeration — and the
+    verify join-back must be an equi join on vec ids."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["ann_lsh_verified_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Nearest-centroid assignment is a pure projection over broadcast
+    centroid literals: the per-iteration job is Scan → Project → partial agg
+    → single exchange → final agg. No join, no extra exchange, no UDF."""
+    from smoldocling_ocr_spark.operators.simsearch import DIM, _assign_expr
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = [[float(i == j) for i in range(DIM)] for j in range(4)]
+    assigned = emb.select(_assign_expr(centroids).alias("list_id"), "embedding")
+    plan = _plan(assigned)
+    assert "Exchange" not in plan  # assignment itself never shuffles
+    agg = assigned.groupBy("list_id").count()
+    agg_plan = _plan(agg)
+    # exactly one Exchange NODE in the tree (the formatted plan repeats the
+    # name in the node-detail section, so count tree entries)
+    assert agg_plan.count("+- Exchange") == 1
+    assert "Join" not in agg_plan and "BatchEvalPython" not in agg_plan
