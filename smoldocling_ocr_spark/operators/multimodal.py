@@ -65,6 +65,9 @@ def sniff_media(payload: bytes) -> tuple[str, int | None, int | None]:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         width, height = _struct.unpack("<HH", payload[6:10])
         return "gif", int(width), int(height)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        width, height = _struct.unpack_from("<ii", payload, 18)
+        return "bmp", int(width), abs(int(height))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav", None, None
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
@@ -443,3 +446,126 @@ def frame_sample(df: DataFrame, media_col: str = "media", n_frames: int = 4) -> 
             yield pd.DataFrame(rows, columns=["key", "frame_idx", "byte_offset", "frame"])
 
     return df.select(F.col("key"), F.col(media_col)).mapInPandas(sample, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Deterministic media fixture + oracle-checkable distributed decode
+# --------------------------------------------------------------------------
+
+MEDIA_FIXTURE_ROWS = 96
+
+
+def synth_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal real PNG (8-bit RGB, filter-0 scanlines, correct CRCs)."""
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal real BMP (24bpp, bottom-up, 4-byte row padding)."""
+    stride = (width * 3 + 3) & ~3
+    row = bytes((rgb[2], rgb[1], rgb[0])) * width + b"\x00" * (stride - width * 3)
+    data = row * height
+    header = b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def media_fixture(spark, n: int = MEDIA_FIXTURE_ROWS) -> DataFrame:
+    """Deterministic (key, media) table whose generation LAW is pure
+    arithmetic on the key — so a SQL oracle can predict every decoded
+    statistic without being able to decode: key i is a (4 + i%13) ×
+    (3 + i%7) image of constant gray value i%251, PNG for even i, BMP for
+    odd. The bytes are REAL encodings decoded by the real decoders."""
+    rows = []
+    for i in range(n):
+        w, h, c = 4 + i % 13, 3 + i % 7, i % 251
+        enc = synth_png if i % 2 == 0 else synth_bmp
+        rows.append((i, bytearray(enc(w, h, (c, c, c)))))
+    return spark.createDataFrame(rows, "key int, media binary")
+
+
+def decoded_image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Distributed real decode (mapInPandas, Arrow batches) → per-image
+    (key, format, width, height, mean_pixel as exact int for constant-color
+    fixtures). The 100 TB shape: decode is embarrassingly parallel over the
+    binary column; stats aggregate with map-side combine."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_pixel", T.IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf["key"], pdf[media_col]):
+                b = bytes(payload)
+                fmt, _, _ = sniff_media(b)
+                px = decode_image(b)
+                rows.append(
+                    {
+                        "key": int(key),
+                        "format": fmt,
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "mean_pixel": int(round(float(px.mean()))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["key", "format", "width", "height", "mean_pixel"])
+
+    return df.select("key", media_col).mapInPandas(decode, schema=schema)
+
+
+def register(query) -> None:
+    @query(
+        "multimodal_decode_stats",
+        sql=f"""
+        SELECT CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+               count(*) AS images,
+               CAST(sum(4 + i % 13) AS BIGINT) AS total_width,
+               CAST(sum(3 + i % 7) AS BIGINT) AS total_height,
+               CAST(sum(i % 251) AS BIGINT) AS total_mean_pixel
+        FROM range({MEDIA_FIXTURE_ROWS}) t(i) GROUP BY 1 ORDER BY 1
+        """,
+    )
+    def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
+        """Distributed image decode, value-checked end-to-end: Spark decodes
+        REAL PNG/BMP bytes inside Arrow batches; the DuckDB oracle computes
+        the same aggregate from the fixture's generation law. A decoder that
+        misreports a single dimension or pixel hash-mismatches."""
+        stats = decoded_image_stats(media_fixture(spark))
+        return (
+            stats.groupBy("format")
+            .agg(
+                F.count("*").alias("images"),
+                F.sum("width").alias("total_width"),
+                F.sum("height").alias("total_height"),
+                F.sum("mean_pixel").alias("total_mean_pixel"),
+            )
+            .orderBy("format")
+        )

@@ -48,6 +48,7 @@ GATE_ROTATION_FIRST = [
     "dedup_exact",  # oracle-backed; displaced by design in r2 (green in r1)
     "ann_lsh_verified_neardup",  # new in r3 (composed LSH→verify near-dup)
     "ann_ivf_kmeans_topk",  # new in r3 (learned-quantizer IVF, rows-only)
+    "multimodal_decode_stats",  # new in r3 (distributed real image decode)
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -62,6 +63,7 @@ GATE_ROTATION_LAST = [
     "pdf_date_parse_relational",
     "document_id_sha256",
     "token_counting",
+    "doc_fingerprint",
 ]
 
 
@@ -963,12 +965,14 @@ def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ..operators import dedup as _dedup          # noqa: E402
+from ..operators import multimodal as _multimodal  # noqa: E402
 from ..operators import simsearch as _simsearch  # noqa: E402
 from ..operators import textstats as _textstats  # noqa: E402
 
 _dedup.register(query)
 _simsearch.register(query)
 _textstats.register(query)
+_multimodal.register(query)
 
 
 # ---------------------------------------------------------------------------
