@@ -157,3 +157,92 @@ def register(query) -> None:
             .orderBy("doc_id")
             .limit(100)
         )
+
+    _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+    stop_sql = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in _GOPHER_STOPS
+    )
+
+    @query(
+        "gopher_quality_filters",
+        sql=f"""
+        WITH m AS (
+          SELECT doc_id,
+                 length(regexp_extract_all(text, '\\S+')) AS words,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                 (length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+                 length(string_split(text, chr(10))) AS lines,
+                 len(list_filter(string_split(text, chr(10)),
+                                 l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+                 len(list_filter(string_split(text, chr(10)),
+                                 l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS ellipsis_lines,
+                 len(list_filter(regexp_extract_all(text, '\\S+'),
+                                 w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha_words,
+                 {stop_sql} AS stop_types
+          FROM documents
+        )
+        SELECT doc_id,
+               words, word_chars, symbols, bullet_lines, alpha_words, stop_types,
+               CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END AS ok_word_count,
+               CASE WHEN 3 * words <= word_chars AND word_chars <= 10 * words THEN 1 ELSE 0 END AS ok_mean_word_len,
+               CASE WHEN symbols * 10 < words THEN 1 ELSE 0 END AS ok_symbol_ratio,
+               CASE WHEN bullet_lines * 10 < lines * 9 THEN 1 ELSE 0 END AS ok_bullets,
+               CASE WHEN ellipsis_lines * 10 < lines * 3 THEN 1 ELSE 0 END AS ok_ellipsis,
+               CASE WHEN alpha_words * 10 >= words * 8 THEN 1 ELSE 0 END AS ok_alpha_words,
+               CASE WHEN stop_types >= 2 THEN 1 ELSE 0 END AS ok_stopwords
+        FROM m ORDER BY doc_id
+        """,
+    )
+    def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style document quality filters (Rae et al. 2021, App. A —
+        the canonical LLM-training-data filter set), entirely JVM-side:
+        word-count bounds, mean word length 3-10, symbol-to-word ratio <0.1,
+        <90% bullet lines, <30% ellipsis-ending lines, ≥80% words containing
+        a letter, ≥2 distinct stop words. Every ratio threshold is an exact
+        INTEGER cross-multiplication so both engines agree at boundaries
+        (no float accumulation, no rounding rule divergence)."""
+        docs = read_table(spark, sf_dir, "documents")
+        words_arr = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        lines_arr = F.split(F.col("text"), "\n")
+        m = docs.select(
+            "doc_id",
+            F.size(words_arr).alias("words"),
+            F.length(F.regexp_replace("text", r"\s", "")).alias("word_chars"),
+            (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+                + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / F.lit(3)
+            ).cast("long").alias("symbols"),
+            F.size(lines_arr).alias("lines"),
+            F.size(F.filter(lines_arr, lambda l: F.ltrim(l).rlike(r"^[-*•]"))).alias("bullet_lines"),
+            F.size(F.filter(lines_arr, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))).alias("ellipsis_lines"),
+            F.size(F.filter(words_arr, lambda w: w.rlike("[a-zA-Z]"))).alias("alpha_words"),
+            sum(
+                F.when(F.lower(F.col("text")).rlike(rf"\b{w}\b"), 1).otherwise(0)
+                for w in _GOPHER_STOPS
+            ).alias("stop_types"),
+        )
+        flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+        return m.select(
+            "doc_id",
+            # the raw per-doc measurements hash-check the actual feature
+            # extraction (the flags alone are near-constant on the synthetic
+            # word-soup corpus — a vacuous check; see driver-contract notes)
+            "words",
+            "word_chars",
+            "symbols",
+            "bullet_lines",
+            "alpha_words",
+            "stop_types",
+            flag((F.col("words") >= 50) & (F.col("words") <= 100000)).alias("ok_word_count"),
+            flag(
+                (3 * F.col("words") <= F.col("word_chars"))
+                & (F.col("word_chars") <= 10 * F.col("words"))
+            ).alias("ok_mean_word_len"),
+            flag(F.col("symbols") * 10 < F.col("words")).alias("ok_symbol_ratio"),
+            flag(F.col("bullet_lines") * 10 < F.col("lines") * 9).alias("ok_bullets"),
+            flag(F.col("ellipsis_lines") * 10 < F.col("lines") * 3).alias("ok_ellipsis"),
+            flag(F.col("alpha_words") * 10 >= F.col("words") * 8).alias("ok_alpha_words"),
+            flag(F.col("stop_types") >= 2).alias("ok_stopwords"),
+        ).orderBy("doc_id")

@@ -49,6 +49,7 @@ GATE_ROTATION_FIRST = [
     "ann_lsh_verified_neardup",  # new in r3 (composed LSH→verify near-dup)
     "ann_ivf_kmeans_topk",  # new in r3 (learned-quantizer IVF, rows-only)
     "multimodal_decode_stats",  # new in r3 (distributed real image decode)
+    "gopher_quality_filters",  # new in r3 (Gopher-rule doc filters)
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -64,6 +65,7 @@ GATE_ROTATION_LAST = [
     "document_id_sha256",
     "token_counting",
     "doc_fingerprint",
+    "payload_size_tiers",
 ]
 
 
