@@ -246,3 +246,89 @@ def register(query) -> None:
             flag(F.col("alpha_words") * 10 >= F.col("words") * 8).alias("ok_alpha_words"),
             flag(F.col("stop_types") >= 2).alias("ok_stopwords"),
         ).orderBy("doc_id")
+
+    @query(
+        "gopher_repetition_filters",
+        sql=r"""
+        WITH m AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines_arr,
+                 regexp_extract_all(text, '\S+') AS words
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 len(lines_arr) AS lines,
+                 len(list_distinct(lines_arr)) AS distinct_lines,
+                 list_transform(range(greatest(len(words) - 1, 0)),
+                                i -> words[i + 1] || ' ' || words[i + 2]) AS bigrams
+          FROM m
+        ),
+        c AS (
+          SELECT doc_id, lines, distinct_lines,
+                 len(bigrams) AS total_bigrams,
+                 coalesce((SELECT max(cnt) FROM (
+                     SELECT count(*) AS cnt FROM unnest(b.bigrams) AS u(g) GROUP BY g
+                 )), 0) AS top_bigram_count
+          FROM b
+        )
+        SELECT doc_id, lines, distinct_lines, total_bigrams, top_bigram_count,
+               CASE WHEN (lines - distinct_lines) * 10 <= lines * 3 THEN 1 ELSE 0 END AS ok_dup_lines,
+               CASE WHEN top_bigram_count * 5 <= total_bigrams THEN 1 ELSE 0 END AS ok_top_bigram
+        FROM c ORDER BY doc_id
+        """,
+    )
+    def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style repetition filters (Rae et al. 2021 App. A, adapted
+        to occurrence fractions): duplicate-line fraction ≤0.30 and
+        most-frequent-word-bigram fraction ≤0.20, with the raw counts in
+        the output. All JVM-side: the per-doc top-bigram count is a
+        max-run fold over the SORTED bigram array (F.aggregate — no
+        explode, no per-doc groupBy, cardinality never changes), which is
+        the shape that survives 10^12 docs: one pass, map-side only."""
+        docs = read_table(spark, sf_dir, "documents")
+        words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        lines_arr = F.split(F.col("text"), "\n")
+        nb = F.greatest(F.size(words) - 1, F.lit(0))
+        bigrams = F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), nb),
+                lambda i: F.concat(
+                    F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+                ),
+            )
+        )
+        sorted_b = F.sort_array(bigrams)
+        run_fold = F.aggregate(
+            sorted_b,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                    acc["best"],
+                ).alias("best"),
+            ),
+        )
+        m = docs.select(
+            "doc_id",
+            F.size(lines_arr).alias("lines"),
+            F.size(F.array_distinct(lines_arr)).alias("distinct_lines"),
+            F.size(bigrams).alias("total_bigrams"),
+            run_fold["best"].alias("top_bigram_count"),
+        )
+        flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+        return m.select(
+            "doc_id",
+            "lines",
+            "distinct_lines",
+            "total_bigrams",
+            "top_bigram_count",
+            flag((F.col("lines") - F.col("distinct_lines")) * 10 <= F.col("lines") * 3).alias(
+                "ok_dup_lines"
+            ),
+            flag(F.col("top_bigram_count") * 5 <= F.col("total_bigrams")).alias("ok_top_bigram"),
+        ).orderBy("doc_id")

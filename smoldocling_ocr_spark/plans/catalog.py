@@ -50,6 +50,7 @@ GATE_ROTATION_FIRST = [
     "ann_ivf_kmeans_topk",  # new in r3 (learned-quantizer IVF, rows-only)
     "multimodal_decode_stats",  # new in r3 (distributed real image decode)
     "gopher_quality_filters",  # new in r3 (Gopher-rule doc filters)
+    "gopher_repetition_filters",  # new in r3 (dup-line / top-bigram rules)
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -66,6 +67,7 @@ GATE_ROTATION_LAST = [
     "token_counting",
     "doc_fingerprint",
     "payload_size_tiers",
+    "confidence_statistics",
 ]
 
 
