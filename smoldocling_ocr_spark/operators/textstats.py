@@ -332,3 +332,75 @@ def register(query) -> None:
             ),
             flag(F.col("top_bigram_count") * 5 <= F.col("total_bigrams")).alias("ok_top_bigram"),
         ).orderBy("doc_id")
+
+    @query(
+        "c4_quality_filters",
+        sql=r"""
+        WITH m AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines_arr,
+                 length(regexp_extract_all(text, '[.!?](\s|$)')) AS sentences,
+                 CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+                 CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, sentences, has_brace, has_lorem,
+                 len(lines_arr) AS lines,
+                 len(list_filter(lines_arr,
+                                 l -> regexp_matches(rtrim(l), '[.!?"]$'))) AS terminal_lines,
+                 len(list_filter(lines_arr,
+                                 l -> length(regexp_extract_all(l, '\S+')) >= 5)) AS long_lines
+          FROM m
+        )
+        SELECT doc_id, sentences, lines, terminal_lines, long_lines,
+               CASE WHEN sentences >= 3 THEN 1 ELSE 0 END AS ok_sentences,
+               CASE WHEN has_brace = 0 THEN 1 ELSE 0 END AS ok_no_brace,
+               CASE WHEN has_lorem = 0 THEN 1 ELSE 0 END AS ok_no_lorem,
+               CASE WHEN terminal_lines * 2 >= lines THEN 1 ELSE 0 END AS ok_terminal_punct,
+               CASE WHEN long_lines * 2 >= lines THEN 1 ELSE 0 END AS ok_line_words
+        FROM b ORDER BY doc_id
+        """,
+    )
+    def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4-style cleaning rules (Raffel et al. 2020 §2.2, adapted to
+        document-level fractions): ≥3 sentences, no '{' (code tell), no
+        'lorem ipsum', ≥half the lines ending in terminal punctuation, and
+        ≥half the lines carrying ≥5 words. JVM-side lambda filters over the
+        line array (no explode); raw counts in the output keep the hash
+        non-vacuous; fraction thresholds are integer comparisons."""
+        docs = read_table(spark, sf_dir, "documents")
+        lines_arr = F.split(F.col("text"), "\n")
+        m = docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?](\s|$)"), 0)).alias(
+                "sentences"
+            ),
+            F.when(F.col("text").contains("{"), 1).otherwise(0).alias("has_brace"),
+            F.when(F.lower(F.col("text")).contains("lorem ipsum"), 1)
+            .otherwise(0)
+            .alias("has_lorem"),
+            F.size(lines_arr).alias("lines"),
+            F.size(F.filter(lines_arr, lambda l: F.rtrim(l).rlike('[.!?"]$'))).alias(
+                "terminal_lines"
+            ),
+            F.size(
+                F.filter(
+                    lines_arr,
+                    lambda l: F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= 5,
+                )
+            ).alias("long_lines"),
+        )
+        flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+        return m.select(
+            "doc_id",
+            "sentences",
+            "lines",
+            "terminal_lines",
+            "long_lines",
+            flag(F.col("sentences") >= 3).alias("ok_sentences"),
+            flag(F.col("has_brace") == 0).alias("ok_no_brace"),
+            flag(F.col("has_lorem") == 0).alias("ok_no_lorem"),
+            flag(F.col("terminal_lines") * 2 >= F.col("lines")).alias("ok_terminal_punct"),
+            flag(F.col("long_lines") * 2 >= F.col("lines")).alias("ok_line_words"),
+        ).orderBy("doc_id")

@@ -51,6 +51,7 @@ GATE_ROTATION_FIRST = [
     "multimodal_decode_stats",  # new in r3 (distributed real image decode)
     "gopher_quality_filters",  # new in r3 (Gopher-rule doc filters)
     "gopher_repetition_filters",  # new in r3 (dup-line / top-bigram rules)
+    "c4_quality_filters",  # new in r3 (C4 cleaning rules)
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -68,6 +69,7 @@ GATE_ROTATION_LAST = [
     "doc_fingerprint",
     "payload_size_tiers",
     "confidence_statistics",
+    "quality_tiers",
 ]
 
 
