@@ -4,11 +4,14 @@
   corpus, double-precision dot product via ``F.aggregate``/``zip_with``,
   rank by rounded similarity with id tiebreak (rounding makes the ranking
   stable across engines' float accumulation orders)
-* sign-LSH bucketed variant — the scale path: bucket on the sign pattern of
-  the first 8 components (a fixed random-hyperplane sketch); candidate pairs
-  only form within a bucket, turning the O(n²) cross join into a bucket-local
-  join. At 10^9 vectors the bucket key is the shuffle key and per-bucket
-  cardinality stays bounded.
+* sign-LSH bucketed variant — the scale path: bucket on a sign-pattern
+  sketch whose BIT WIDTH GROWS WITH THE CORPUS (bits ≈ log2(N / target
+  bucket rows), from parquet footer counts — zero Spark jobs), so bucket
+  count scales with N and expected bucket occupancy stays ≈ constant.
+  Candidate pairs only form within a bucket, turning the O(n²) cross join
+  into a bucket-local join whose per-bucket work is bounded at any N; a
+  fixed bit width would instead concentrate ~N/2^bits rows per bucket and
+  go quadratic at 10⁹ vectors.
 * embedding-cosine near-dup — threshold pair scan (dedup family's fifth
   member; BASELINE task list)
 """
@@ -22,20 +25,61 @@ from ..sources.documents import read_table
 TOPK = 3
 N_QUERIES = 5
 NEARDUP_THRESHOLD = 0.40
-SIGN_BITS = 8
 DIM = 64  # driver embeddings are fixed 64-dim float arrays
 IVF_NPROBE = 3
 IVF_N_LISTS = 10  # embeddings.label has 10 distinct values (the coarse lists)
 
-# Composed LSH→verify banding: 16 bands × 4 sign bits cover all 64
-# components. Measured on the driver data at sf0.01 (near-uniform synthetic
-# vectors, max pairwise cosine 0.513): candidate recall 0.966 vs the exact
-# all-pairs form at threshold 0.40, candidate set 65% of all pairs. On real
-# clustered embeddings (near-dups at cosine ≥0.9) the same banding prunes
-# orders of magnitude harder: P(band collision) = (1 − θ/π)^bits rises
-# steeply as θ → 0, which is exactly the near-dup regime.
-NEARDUP_BANDS = 16
-NEARDUP_BAND_BITS = 4
+# --- adaptive sign-LSH sizing ---------------------------------------------
+# Bucket-key cardinality must grow with the corpus: band bit-width is derived
+# from the row count (bits = max(min, ceil(log2(N / TARGET_BUCKET_ROWS)))) so
+# the expected bucket occupancy stays ≈ TARGET_BUCKET_ROWS at any N, and the
+# bucket-local join stays sub-quadratic. Recall at the near-dup threshold is
+# held as bits widen by ADDING BANDS along the standard b·r S-curve:
+# P(pair becomes a candidate) = 1 − (1 − p^bits)^bands with
+# p = 1 − acos(threshold)/π, solved for bands at TARGET_RECALL and capped at
+# MAX_BANDS. At the driver sf0.01 scale (N=500) this degenerates to the
+# measured 16×4-bit banding (candidate recall 0.966 vs the exact all-pairs
+# form at threshold 0.40 on near-uniform synthetic vectors — sign-LSH's
+# hardest regime; real near-dups at cosine ≥0.9 collide far more often, so
+# far fewer bands hold the same recall at wide bits).
+TARGET_BUCKET_ROWS = 128
+MIN_BAND_BITS = 4  # banded near-dup floor: 16 buckets/band on tiny corpora
+MIN_SIGN_BITS = 8  # single-sketch bucket queries: 256-bucket floor
+MAX_BANDS = 64
+TARGET_RECALL = 0.93
+
+
+def band_bits(
+    n_rows: int,
+    target_bucket: int = TARGET_BUCKET_ROWS,
+    min_bits: int = MIN_BAND_BITS,
+) -> int:
+    """Smallest b with 2^b buckets ≥ N / target_bucket (pure-integer math —
+    the DuckDB oracle computes the identical value with a range() scan, so
+    both engines always agree on the banding)."""
+    import math
+
+    return max(min_bits, max(0, math.ceil(max(1, n_rows) / target_bucket) - 1).bit_length())
+
+
+def bands_for_bits(
+    bits: int,
+    threshold: float = NEARDUP_THRESHOLD,
+    target_recall: float = TARGET_RECALL,
+    max_bands: int = MAX_BANDS,
+) -> int:
+    """Band count holding TARGET_RECALL at `threshold` for a given band
+    width: ceil(ln(1−R) / ln(1−p^bits)), p = 1 − acos(θ)/π. Evaluated in
+    Python only — the oracle receives the resulting integers as a CASE
+    lookup, so no cross-engine float boundary can flip the plan."""
+    import math
+
+    p_bit = 1.0 - math.acos(threshold) / math.pi
+    p_band = p_bit**bits
+    if p_band >= 1.0:
+        return 1
+    n = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return max(1, min(max_bands, n))
 
 
 N_BLOCKS = 8
@@ -150,43 +194,99 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
-def _sign_band(b: int, bits: int):
-    """Sign pattern of components [b*bits, (b+1)*bits) as a bit string."""
-    return F.concat(
-        *[
-            F.when(F.element_at(F.col("embedding"), b * bits + i + 1) > 0, "1").otherwise("0")
-            for i in range(bits)
-        ]
+def bits_sql(min_bits: int) -> str:
+    """Adaptive sketch width in PURE-INTEGER SQL (identical to
+    :func:`band_bits`: smallest b with 2^b · target ≥ count(*), floored at
+    min_bits) — the oracle derives the same bucket count from the same row
+    count at any sf, so the comparison stays exact as the corpus grows."""
+    return (
+        f"greatest({min_bits}, (SELECT min(b)::INT FROM range(40) t(b) "
+        f"WHERE (1::BIGINT << b) * {TARGET_BUCKET_ROWS} >= "
+        f"(SELECT count(*) FROM embeddings)))"
     )
+
+
+# '1'/'0' for hyperplane pl.h over embeddings alias e — mirrors
+# _plane_bit()/_plane_indices() token for token (comparisons only, no float
+# arithmetic, so FLOAT vs DOUBLE evaluation cannot diverge).
+PLANE_BIT_SQL = (
+    f"CASE WHEN pl.h < {DIM} "
+    f"THEN (CASE WHEN e.embedding[pl.h + 1] > 0 THEN '1' ELSE '0' END) "
+    f"ELSE (CASE WHEN e.embedding[(pl.h % {DIM}) + 1] > "
+    f"e.embedding[(((pl.h % {DIM}) + 1 + (((pl.h // {DIM}) - 1) % {DIM - 1})) % {DIM}) + 1] "
+    f"THEN '1' ELSE '0' END) END"
+)
+
+
+def _plane_indices(h: int) -> tuple[int, int | None]:
+    """Deterministic hyperplane family indexed by h, shared verbatim with
+    the DuckDB oracle. h < DIM is the axis plane sign(x[h]); h ≥ DIM is the
+    sparse difference plane sign(x[u] − x[v]) with u = h mod DIM and v
+    offset by 1 + ((h div DIM) − 1) mod (DIM−1) — always v ≠ u, giving
+    DIM + DIM·(DIM−1) = 4160 distinct directions at DIM=64, far more than
+    any bits·bands this module ever requests."""
+    u = h % DIM
+    if h < DIM:
+        return u, None
+    v = (u + 1 + ((h // DIM) - 1) % (DIM - 1)) % DIM
+    return u, v
+
+
+def _plane_bit(h: int):
+    """'1'/'0' for hyperplane h. Pure comparisons (no float arithmetic), so
+    Spark-on-float and DuckDB-on-FLOAT evaluate bit-identically."""
+    u, v = _plane_indices(h)
+    e = F.col("embedding")
+    if v is None:
+        return F.when(F.element_at(e, u + 1) > 0, "1").otherwise("0")
+    return F.when(F.element_at(e, u + 1) > F.element_at(e, v + 1), "1").otherwise("0")
+
+
+def _band_key(b: int, bits: int):
+    """Bit-string key of band b: hyperplanes [b·bits, (b+1)·bits)."""
+    return F.concat(*[_plane_bit(b * bits + i) for i in range(bits)])
 
 
 def lsh_verified_pairs(
     emb: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
-    n_bands: int = NEARDUP_BANDS,
-    bits: int = NEARDUP_BAND_BITS,
+    n_rows: int | None = None,
+    bits: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """The composed 100-TB near-dup shape: banded sign-LSH candidates →
-    exact cosine verify. Candidates form only inside a band bucket (each
-    band join is an equi shuffle join on a short bit-string key — the
-    bucket IS the shuffle key), the band unions are dedup'd, and only the
-    surviving pairs pay the exact double-precision cosine. Returns
-    (vec_a, vec_b, sim) with sim rounded to 5dp.
+    exact cosine verify. Returns (vec_a, vec_b, sim) with sim rounded 5dp.
+
+    Sizing: band width grows with the corpus (:func:`band_bits` — pass
+    ``n_rows`` from parquet footers / the table catalog so sizing costs zero
+    Spark jobs) and the band count holds recall along the b·r S-curve
+    (:func:`bands_for_bits`), so bucket cardinality scales with N instead of
+    being a compile-time constant.
+
+    Plan shape: ALL bands materialize in one pass — posexplode of the
+    per-row band-key array to (vec_id, band, bkey) — and candidates form in
+    ONE self equi-join on (band, bkey): a single shuffle exchange that the
+    probe side reuses (ReusedExchange), not one join per band. Only
+    surviving deduped pairs pay the exact double-precision cosine.
 
     The exact GEMM form (:func:`blocked_cosine_pairs`) is the correctness
     baseline; this is the sub-quadratic path that must front it at 10⁹
-    vectors. Measured candidate recall on the driver data is in the module
-    constants' comment and asserted in tests/test_simsearch.py."""
-    banded = emb.select(
-        "vec_id", *[_sign_band(b, bits).alias(f"b{b}") for b in range(n_bands)]
+    vectors. Measured candidate recall is asserted in
+    tests/test_simsearch.py and recorded in BENCH/BASELINE.md."""
+    if bits is None:
+        bits = band_bits(n_rows if n_rows is not None else emb.count())
+    if n_bands is None:
+        n_bands = bands_for_bits(bits, threshold)
+    keys = F.array(*[_band_key(b, bits) for b in range(n_bands)])
+    banded = emb.select("vec_id", F.posexplode(keys).alias("band", "bkey"))
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    c = banded.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
+    cand = (
+        a.join(c, ["band", "bkey"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    cands = None
-    for b in range(n_bands):
-        a = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"b{b}").alias("k"))
-        c = banded.select(F.col("vec_id").alias("vec_b"), F.col(f"b{b}").alias("k"))
-        pairs = a.join(c, "k").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cand = cands.dropDuplicates(["vec_a", "vec_b"])
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     sim = _cosine(F.col("ea"), F.col("eb"))
@@ -416,26 +516,27 @@ def register(query) -> None:
         n = parquet_row_count(sf_dir, "embeddings")
         return blocked_cosine_pairs(emb, NEARDUP_THRESHOLD, n_rows=n).orderBy("vec_a", "vec_b")
 
-    sign_sql = " || ".join(
-        f"(CASE WHEN embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(SIGN_BITS)
-    )
-
     @query(
         "ann_lsh_buckets",
         sql=f"""
-        SELECT bucket, count(*) AS vectors FROM (
-          SELECT vec_id, {sign_sql} AS bucket FROM embeddings
-        ) GROUP BY bucket HAVING count(*) >= 2 ORDER BY bucket
+        WITH p AS (SELECT {bits_sql(MIN_SIGN_BITS)} AS bits),
+        planes AS (
+          SELECT ti.i::INT AS i, ti.i::INT AS h
+          FROM p, LATERAL unnest(range(p.bits)) AS ti(i)
+        ),
+        bk AS (
+          SELECT e.vec_id, string_agg({PLANE_BIT_SQL}, '' ORDER BY pl.i) AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id
+        )
+        SELECT bucket, count(*) AS vectors
+        FROM bk GROUP BY bucket HAVING count(*) >= 2 ORDER BY bucket
         """,
     )
     def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = read_table(spark, sf_dir, "embeddings")
-        bucket = F.concat(
-            *[
-                F.when(F.element_at(F.col("embedding"), i + 1) > 0, "1").otherwise("0")
-                for i in range(SIGN_BITS)
-            ]
-        ).alias("bucket")
+        bits = band_bits(parquet_row_count(sf_dir, "embeddings"), min_bits=MIN_SIGN_BITS)
+        bucket = F.concat(*[_plane_bit(i) for i in range(bits)]).alias("bucket")
         return (
             emb.select(bucket)
             .groupBy("bucket")
@@ -447,20 +548,25 @@ def register(query) -> None:
     @query(
         "ann_lsh_candidate_pairs",
         sql=f"""
-        WITH b AS (SELECT vec_id, {sign_sql} AS bucket FROM embeddings)
+        WITH p AS (SELECT {bits_sql(MIN_SIGN_BITS)} AS bits),
+        planes AS (
+          SELECT ti.i::INT AS i, ti.i::INT AS h
+          FROM p, LATERAL unnest(range(p.bits)) AS ti(i)
+        ),
+        bk AS (
+          SELECT e.vec_id, string_agg({PLANE_BIT_SQL}, '' ORDER BY pl.i) AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id
+        )
         SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         ORDER BY vec_a, vec_b
         """,
     )
     def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = read_table(spark, sf_dir, "embeddings")
-        bucket = F.concat(
-            *[
-                F.when(F.element_at(F.col("embedding"), i + 1) > 0, "1").otherwise("0")
-                for i in range(SIGN_BITS)
-            ]
-        )
+        bits = band_bits(parquet_row_count(sf_dir, "embeddings"), min_bits=MIN_SIGN_BITS)
+        bucket = F.concat(*[_plane_bit(i) for i in range(bits)])
         b = emb.select("vec_id", bucket.alias("bucket"))
         a = b.alias("a")
         c = b.alias("c")
@@ -528,23 +634,33 @@ def register(query) -> None:
         """See :func:`ivf_topk` — registered at the default nprobe."""
         return ivf_topk(spark, sf_dir, IVF_NPROBE)
 
-    band_sqls = [
-        " || ".join(
-            f"(CASE WHEN embedding[{b * NEARDUP_BAND_BITS + i + 1}] > 0 THEN '1' ELSE '0' END)"
-            for i in range(NEARDUP_BAND_BITS)
-        )
-        for b in range(NEARDUP_BANDS)
-    ]
-    band_select = ", ".join(f"{e} AS b{i}" for i, e in enumerate(band_sqls))
-    band_ors = " OR ".join(f"a.b{i} = c.b{i}" for i in range(NEARDUP_BANDS))
+    # Band count per width, precomputed in Python (bands_for_bits) and
+    # handed to the oracle as an integer CASE lookup — no cross-engine float
+    # math can flip the banding.
+    bands_case = " ".join(
+        f"WHEN {b} THEN {bands_for_bits(b)}" for b in range(MIN_BAND_BITS, 33)
+    )
 
     @query(
         "ann_lsh_verified_neardup",
         sql=f"""
-        WITH bands AS (SELECT vec_id, {band_select} FROM embeddings),
+        WITH p AS (SELECT {bits_sql(MIN_BAND_BITS)} AS bits),
+        p2 AS (SELECT bits, (CASE bits {bands_case} ELSE {MAX_BANDS} END) AS n_bands FROM p),
+        planes AS (
+          SELECT tb.band::INT AS band, ti.i::INT AS i,
+                 (tb.band * p2.bits + ti.i)::INT AS h
+          FROM p2, LATERAL unnest(range(p2.n_bands)) AS tb(band),
+               LATERAL unnest(range(p2.bits)) AS ti(i)
+        ),
+        bands AS (
+          SELECT e.vec_id, pl.band, string_agg({PLANE_BIT_SQL}, '' ORDER BY pl.i) AS bkey
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.band
+        ),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-          FROM bands a JOIN bands c ON a.vec_id < c.vec_id AND ({band_ors})
+          FROM bands a JOIN bands c
+            ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id
         )
         SELECT cand.vec_a, cand.vec_b,
                round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 5) AS sim
@@ -557,12 +673,15 @@ def register(query) -> None:
     def lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The composed scale-path near-dup (LSH candidates → exact verify),
         end-to-end as one plan — see :func:`lsh_verified_pairs`. The oracle
-        replicates the same composition (deterministic banding is SQL-
-        expressible), so the driver certifies the composed pipeline; recall
+        replicates the same adaptive banding (row-count-derived bit width is
+        pure-integer SQL; the band-count S-curve lookup is a precomputed
+        CASE), so the driver certifies the composed pipeline AT ANY SF; the
+        candidate stage is one posexplode self-join on (band, bkey), recall
         vs the exact all-pairs form is measured in tests/test_simsearch.py
         and recorded in BENCH/BASELINE.md."""
         emb = read_table(spark, sf_dir, "embeddings")
-        return lsh_verified_pairs(emb).orderBy("vec_a", "vec_b")
+        n = parquet_row_count(sf_dir, "embeddings")
+        return lsh_verified_pairs(emb, n_rows=n).orderBy("vec_a", "vec_b")
 
     @query("ann_ivf_kmeans_topk")  # rows-only: iterative Lloyd fit (per-brief
     # exemption for iterative algorithms); invariants pinned in pytest —

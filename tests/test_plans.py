@@ -275,6 +275,41 @@ def test_lsh_verified_neardup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_candidate_stage_single_exchange_pair(spark):
+    """ALL bands materialize in one posexplode and candidates form in ONE
+    self equi-join on (band, bkey) — not one join per band (VERDICT r3
+    item 2: the old form built 16 sequential band joins). With broadcast
+    disabled (the at-scale shape) the candidate stage must plan exactly one
+    shuffle for the join's build side plus a ReusedExchange for the probe
+    side, and exactly one more for the pair dedup."""
+    from smoldocling_ocr_spark.operators.simsearch import band_bits, lsh_verified_pairs
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        df = lsh_verified_pairs(emb, n_rows=500)
+        plan = _plan(df)
+        tree = plan.split("\n\n(")[0]  # node tree only, not the detail section
+        n_joins = sum(tree.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin"))
+        assert n_joins == 3, tree  # 1 candidate self-join + 2 verify join-backs
+        # posexplode runs once per side of the self-join (2 Generate nodes),
+        # never once per band
+        assert tree.count("Generate") == 2, tree
+        # exactly ONE join keys on (band, bkey) — the single candidate join
+        n_band_joins = sum(
+            1 for line in plan.splitlines() if line.startswith("Left keys") and "band" in line
+        )
+        assert n_band_joins == 1, plan
+        # total shuffles bounded: 2 (candidate join pair) + 2 (pair dedup +
+        # re-key) + 3 (verify join-backs) — the old per-band form planned 16
+        # joins with 2 exchanges each
+        n_exchange = tree.count("+- Exchange") + tree.count(":- Exchange")
+        assert n_exchange <= 7, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     """Nearest-centroid assignment is a pure projection over broadcast
     centroid literals: the per-iteration job is Scan → Project → partial agg

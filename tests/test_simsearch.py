@@ -70,6 +70,101 @@ def test_lsh_verified_neardup_recall_and_reduction(spark, emb, capsys):
     assert recall >= 0.8
 
 
+def test_adaptive_banding_sizing_contract():
+    """Bucket-key cardinality must GROW with the corpus (VERDICT r3 item 1):
+    2^bits buckets per band keeps expected occupancy ≤ TARGET_BUCKET_ROWS at
+    any N, bits is the minimal such width, and recall is held by widening
+    the band count along the b·r S-curve as bits grow (capped)."""
+    from smoldocling_ocr_spark.operators.simsearch import (
+        MAX_BANDS,
+        MIN_BAND_BITS,
+        TARGET_BUCKET_ROWS,
+        band_bits,
+        bands_for_bits,
+    )
+
+    last = None
+    for n in (1, 500, 2_048, 2_049, 10_000, 1_000_000, 10**9):
+        bits = band_bits(n)
+        assert (1 << bits) * TARGET_BUCKET_ROWS >= n  # occupancy ≤ target
+        if bits > MIN_BAND_BITS:
+            assert (1 << (bits - 1)) * TARGET_BUCKET_ROWS < n  # minimal width
+        if last is not None:
+            assert bits >= last  # monotone in N
+        last = bits
+    assert band_bits(500) == 4  # driver-sf parity with the r3-green banding
+    assert band_bits(2_049) == 5
+    assert band_bits(10**9) == 23  # ~8.4M buckets/band at 1e9 vectors
+
+    bands = [bands_for_bits(b) for b in range(MIN_BAND_BITS, 33)]
+    assert bands[0] == 16  # r3 parity: 16 bands at 4 bits
+    assert all(b2 >= b1 for b1, b2 in zip(bands, bands[1:]))  # widen, never shrink
+    assert max(bands) <= MAX_BANDS
+    # at a REAL near-dup threshold the S-curve stays below the cap even at
+    # 1e9-scale widths — the cap binds in the synthetic low-threshold regime
+    assert bands_for_bits(23, threshold=0.95) < MAX_BANDS
+
+
+def test_bits_sql_matches_python_formula():
+    """The oracle's pure-integer bit-width subquery must equal band_bits()
+    for every corpus size — the cross-engine contract that keeps the
+    adaptive banding hash-certifiable at any sf."""
+    import duckdb
+
+    from smoldocling_ocr_spark.operators.simsearch import band_bits, bits_sql
+
+    con = duckdb.connect()
+    for n in (1, 100, 500, 2_048, 2_049, 10_000, 123_457, 10**7, 10**9):
+        con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        for min_bits in (4, 8):
+            got = con.execute(f"SELECT {bits_sql(min_bits)}").fetchone()[0]
+            assert got == band_bits(n, min_bits=min_bits), (n, min_bits, got)
+
+
+def test_adaptive_banding_matches_oracle_at_larger_corpus(spark, tmp_path):
+    """End-to-end cross-engine check in the bits=5 regime (N=2100 > 2048):
+    26 bands × 5 bits = 130 hyperplanes, so the h ≥ DIM sparse difference
+    planes are exercised on both engines; the registered Spark query and
+    the DuckDB oracle must agree on a corpus past the driver sf."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smoldocling_ocr_spark.operators.simsearch import DIM, band_bits, bands_for_bits
+    from smoldocling_ocr_spark.plans.catalog import oracle_queries, spark_queries
+
+    rng = np.random.default_rng(7)
+    n, k = 2100, 50
+    centers = rng.choice([-1.0, 1.0], size=(k, DIM))
+    vecs = [centers[i % k] + rng.normal(0, 0.08, DIM) for i in range(n)]
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+            "embedding": pa.array([[float(x) for x in v] for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+    assert band_bits(n) == 5 and bands_for_bits(5) * 5 > DIM
+
+    srows = sorted(
+        tuple(r)
+        for r in spark_queries()["ann_lsh_verified_neardup"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    drows = sorted(tuple(r) for r in con.execute(oracle_queries()["ann_lsh_verified_neardup"]).fetchall())
+    assert len(srows) == len(drows)
+    for s, d in zip(srows, drows):
+        assert s[0] == d[0] and s[1] == d[1]
+        assert abs(s[2] - d[2]) < 1e-9
+    # the banding did its job: candidates did not degenerate to all pairs
+    assert len(srows) < n * (n - 1) // 2
+
+
 def test_ivf_recall_sweep_and_exhaustive_invariant(spark):
     """IVF recall@3 vs brute force, swept over nprobe (VERDICT r2 item 6).
 
