@@ -376,6 +376,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 1
             reader = _BitReader(bytes(raw))
             if not progressive:
+                if len(comp_idx) != len(comps):
+                    # baseline with per-component (non-interleaved) scans is
+                    # legal per T.81 §B.2.3 but _decode_baseline_scan walks
+                    # the interleaved MCU grid — route to the codec-stub
+                    # fallback instead of decoding garbage
+                    raise NotImplementedError(
+                        "baseline JPEG with non-interleaved scans not supported"
+                    )
                 _decode_baseline_scan(
                     reader, comps, comp_idx, scan_map, huff, coef, mcux, mcuy, restart_interval
                 )

@@ -28,7 +28,10 @@ from typing import Any
 DEFAULT_MEDIABOX = (612.0, 792.0)  # US letter
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
-_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+# the stream keyword legally follows the closing ``>>`` of the stream dict
+# (PDF 32000-1 §7.3.8.1) — anchoring on it keeps a literal string that merely
+# ends in "stream" (e.g. a /Title) from being misparsed as stream data
+_STREAM_KW_RE = re.compile(rb">>\s{0,32}stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
@@ -271,7 +274,10 @@ def _literal_string(data: bytes, i: int) -> tuple[str, int]:
                         i += 1
                     else:
                         break
-                out.append(chr(code))
+                # \400-\777 overflow wraps to one byte (PDF 32000-1
+                # §7.3.4.2: "the high-order overflow shall be ignored") —
+                # also keeps every produced char latin-1-round-trippable
+                out.append(chr(code & 0xFF))
                 continue
             if e in (0x0A, 0x0D):  # line continuation
                 i += 1
@@ -512,8 +518,14 @@ def pdf_info(payload: bytes) -> dict[str, str]:
             if value.startswith("\xfe\xff"):
                 # UTF-16BE text string (PDF 32000-1 §7.9.2.2) — common for
                 # non-ASCII Title/Author; _literal_string decoded it one-
-                # char-per-byte (latin-1 roundtrip), so re-decode the bytes
-                value = value[2:].encode("latin-1").decode("utf-16-be", errors="replace")
+                # char-per-byte (latin-1 roundtrip), so re-decode the bytes.
+                # A metadata-only quirk must never fail the whole parse (the
+                # caller wraps pages+info in one try), so any re-decode
+                # surprise keeps the raw value instead of raising.
+                try:
+                    value = value[2:].encode("latin-1").decode("utf-16-be", errors="replace")
+                except UnicodeEncodeError:
+                    pass
             if value:
                 out[key] = value
     return out

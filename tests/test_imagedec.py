@@ -256,6 +256,27 @@ def test_unsupported_sof_raises():
             decode_jpeg(bad)
 
 
+def test_baseline_non_interleaved_scan_raises():
+    """A baseline (SOF0) JPEG whose SOS selects fewer components than the
+    frame declares (legal per T.81 §B.2.3) must route to the declared
+    NotImplementedError fallback instead of walking the interleaved MCU
+    grid into garbage pixels (ADVICE r3 #2)."""
+    px = np.full((8, 8, 3), 90, dtype=np.uint8)
+    data = bytearray(encode_jpeg(px))
+    i = data.find(b"\xff\xda")
+    assert i != -1
+    seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    ns = data[i + 4]
+    assert ns == 3
+    # keep only the first component pair: ns=1, drop 2 pairs, fix length
+    first_pair = bytes(data[i + 5 : i + 7])
+    tail = bytes(data[i + 5 + 2 * ns : i + 2 + seg_len])  # Ss Se AhAl
+    new_seg = struct.pack(">H", 2 + 1 + 2 + len(tail)) + bytes([1]) + first_pair + tail
+    patched = bytes(data[: i + 2]) + new_seg + bytes(data[i + 2 + seg_len :])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(patched)
+
+
 def test_decode_image_routes_jpeg():
     from smoldocling_ocr_spark.operators.multimodal import decode_image
 

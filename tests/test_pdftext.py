@@ -271,6 +271,46 @@ def test_pdf_info_utf16be_strings():
     assert pdf_info(payload) == {"title": title, "author": "Plain"}
 
 
+def test_pdf_info_octal_overflow_never_fails_page_extraction():
+    """Octal escapes \\400-\\777 wrap to one byte (PDF 32000-1 §7.3.4.2).
+    Before the wrap, a UTF-16BE Info string containing such an escape made
+    the latin-1 re-encode raise — and because callers wrap pages+info in one
+    try, a metadata-only quirk silently discarded a successful text-layer
+    parse (ADVICE r3 #1). The Info parse must survive and pages must still
+    extract."""
+    from smoldocling_ocr_spark.functions.pdftext import pdf_info
+
+    # \777 & 0xFF = 0xFF; paired inside a BOM'd string it stays decodable
+    payload = _two_page_pdf().replace(
+        b"%%EOF",
+        b"9 0 obj\n<< /Title (\\376\\377\\000T\\777) /Author (Plain) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Info 9 0 R >>\n%%EOF",
+    )
+    info = pdf_info(payload)  # must not raise
+    assert info["author"] == "Plain"
+    assert info["title"].startswith("T")
+    pages, _ = extract_pdf_pages(payload)
+    assert len(pages) == 2
+    assert "Annual Report" in [e["content"] for e in pages[0]]
+
+
+def test_pdf_title_ending_in_stream_keyword_not_misparsed():
+    """A literal string ending in 'stream' followed by a newline inside a
+    non-stream object dict must not be treated as stream data (ADVICE r3
+    #4) — the stream keyword only counts after the dict's closing >>."""
+    from smoldocling_ocr_spark.functions.pdftext import pdf_info
+
+    payload = _two_page_pdf().replace(
+        b"%%EOF",
+        b"9 0 obj\n<< /Title (All about stream\ns) /Author (Keeps) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Info 9 0 R >>\n%%EOF",
+    )
+    info = pdf_info(payload)
+    assert info == {"title": "All about stream\ns", "author": "Keeps"}
+    pages, _ = extract_pdf_pages(payload)
+    assert len(pages) == 2
+
+
 def test_pdf_object_streams_expanded():
     """PDF 1.5+ object streams: catalog/pages/page dictionaries live inside
     a Flate-compressed /Type /ObjStm; only the content stream is a
