@@ -30,7 +30,14 @@ def _looks_like_html(payload: bytes) -> bool:
 
 
 def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list[dict[str, Any]]], list[tuple[float, float]], dict[str, Any], str]:
-    """payload → (pages_elements, page_dims (w, h), doc_meta, method)."""
+    """payload → (pages_elements, page_dims (w, h), doc_meta, method).
+
+    ``method`` distinguishes a PDF whose parse FAILED (``pdf_parse_failed``
+    — scanned/encrypted/malformed, routed to the text-column fallback) from
+    a document that was plain text to begin with (``text_layer``): the
+    north-rule lineage counts parse failures, so the two must not conflate
+    (VERDICT r3 task 5). The fallback RENDER is identical either way."""
+    pdf_failed = False
     if layoutcodec.is_layout_payload(payload):
         doc = layoutcodec.decode_layout(payload)
         pages = [p.get("elements", []) for p in doc.get("pages", [])]
@@ -60,7 +67,9 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
                 info["creation_date"] = metadata.parse_pdf_date(info["creation_date"])
             return pages, dims, info, "pdf_text"
         except Exception:
-            pass
+            # scanned/encrypted/malformed: fall through to the text column,
+            # but remember — the router records this distinctly in lineage
+            pdf_failed = True
     if _looks_like_html(payload):
         elements = html_extract_elements(payload.decode("utf-8", errors="replace"))
         # acceptance gate (structure_engine.py:914-928 router analog): the
@@ -89,7 +98,8 @@ def decode_payload(payload: bytes, text_fallback: str | None) -> tuple[list[list
             }
         )
     height = max((e["y"] for e in elements), default=DEFAULT_PAGE_HEIGHT)
-    return [elements], [(DEFAULT_PAGE_WIDTH, max(height, DEFAULT_PAGE_HEIGHT))], {}, "text_layer"
+    method = "pdf_parse_failed" if pdf_failed else "text_layer"
+    return [elements], [(DEFAULT_PAGE_WIDTH, max(height, DEFAULT_PAGE_HEIGHT))], {}, method
 
 
 def run_layout_analysis(
@@ -191,7 +201,7 @@ def extract_document(
     # normalize_markdown belongs to the digital/text paths only
     # (structure_engine.py:79 normalizes the pymupdf4llm digital output;
     # enhanced_pipeline.py:136-174 handles the OCR path).
-    if method in ("text_layer", "pdf_text"):
+    if method in ("text_layer", "pdf_text", "pdf_parse_failed"):
         body = textnorm.normalize_markdown(body)
     markdown = validate_and_enforce(body, meta)
 

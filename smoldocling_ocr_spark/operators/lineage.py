@@ -78,6 +78,12 @@ def extraction_lineage(extracted: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("doc_count"),
             F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("parse_failure_count"),
+            # PDFs whose digital parse failed and were ROUTED to the text
+            # fallback (extraction still succeeded) — distinct from hard
+            # parse_failed rows, per the north-rule failure accounting
+            F.sum(F.when(F.col("method") == "pdf_parse_failed", 1).otherwise(0)).alias(
+                "pdf_parse_failure_count"
+            ),
             F.sum("payload_bytes").alias("bytes_processed"),
             F.min("url").alias("min_url"),
             F.max("url").alias("max_url"),
@@ -91,6 +97,9 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
     return extracted.agg(
         F.count("*").alias("docs"),
         F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("parse_failures"),
+        F.sum(F.when(F.col("method") == "pdf_parse_failed", 1).otherwise(0)).alias(
+            "pdf_parse_failures"
+        ),
         F.sum("pages").alias("pages"),
         F.sum("elements").alias("elements"),
         F.avg("quality_score").alias("avg_quality"),

@@ -269,6 +269,34 @@ def test_extraction_lineage_same_pass(spark, cc_docs):
     assert all(r["min_url"] <= r["max_url"] for r in rows)
 
 
+def test_pdf_parse_failure_counted_in_lineage(spark, cc_docs):
+    """A corrupt %PDF- payload routes to the text fallback with the
+    DISTINCT pdf_parse_failed method (extraction succeeds, parse_failed
+    stays false) and lineage counts it separately from hard failures
+    (VERDICT r3 task 5)."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from smoldocling_ocr_spark.operators.lineage import extraction_lineage, extraction_metrics
+    from smoldocling_ocr_spark.operators.pipeline import extract_documents
+
+    bad_pdf = spark.createDataFrame(
+        [Row(url="https://x/corrupt.pdf", warc_ts=dt.datetime(2024, 1, 1),
+             html=bytearray(b"%PDF-1.4\nnot a real pdf"), text="salvaged text body",
+             lang="en")]
+    )
+    docs = cc_docs.limit(9).unionByName(bad_pdf)
+    extracted = extract_documents(docs, num_partitions=4).cache()
+    row = extracted.filter("url = 'https://x/corrupt.pdf'").collect()[0]
+    assert row["method"] == "pdf_parse_failed"
+    assert row["parse_failed"] is False  # routed, not lost
+    assert "salvaged text body" in row["markdown"]
+    rows = extraction_lineage(extracted).collect()
+    assert sum(r["pdf_parse_failure_count"] for r in rows) == 1
+    assert sum(r["parse_failure_count"] for r in rows) == 0
+    metrics = extraction_metrics(extracted).collect()[0]
+    assert metrics["pdf_parse_failures"] == 1 and metrics["parse_failures"] == 0
+
+
 def test_corrupt_payload_captured(spark):
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
 

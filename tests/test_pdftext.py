@@ -104,7 +104,9 @@ def test_pdf_heading_classified_through_pipeline():
 
 def test_pdf_fallbacks():
     """Encrypted or text-less PDFs must raise so decode_payload falls back
-    to the text column; extract_document then routes text_layer."""
+    to the text column; extract_document then routes the DISTINCT
+    ``pdf_parse_failed`` method (VERDICT r3 task 5) — lineage must be able
+    to count routed PDF failures separately from born-plain-text docs."""
     import datetime as dt
 
     from smoldocling_ocr_spark.functions.extract import extract_document
@@ -126,8 +128,19 @@ def test_pdf_fallbacks():
     res = extract_document(
         "https://x/scan.pdf", dt.datetime(2024, 2, 1), scanned, "fallback body text"
     )
-    assert res["method"] == "text_layer"
+    assert res["method"] == "pdf_parse_failed"
     assert "fallback body text" in res["markdown"]
+
+    # a genuinely plain-text doc keeps the text_layer method — the render
+    # is identical, only the routing label differs
+    res2 = extract_document(
+        "https://x/plain.txt", dt.datetime(2024, 2, 1), b"plain body", "fallback body text"
+    )
+    assert res2["method"] == "text_layer"
+    body_of = lambda md: md.split("---", 2)[-1]
+    assert body_of(res2["markdown"]).replace("text_layer", "") == body_of(
+        res["markdown"]
+    ).replace("pdf_parse_failed", "")
 
 
 def test_pdf_info_metadata_to_frontmatter():

@@ -188,7 +188,9 @@ def test_extract_document_total_on_arbitrary_payloads(payload, text):
 
     res = extract_document("https://x/fuzz", dt.datetime(2024, 1, 1), payload, text)
     assert isinstance(res["markdown"], str) and res["markdown"]
-    assert res["method"] in ("layout_ocr", "html_dom", "text_layer")
+    assert res["method"] in (
+        "layout_ocr", "html_dom", "text_layer", "pdf_text", "pdf_parse_failed",
+    )
     assert res["pages"] >= 1
     assert 0.0 <= res["quality_score"] <= 1.0
 
