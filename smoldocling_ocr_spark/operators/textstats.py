@@ -110,6 +110,139 @@ def register(query) -> None:
             .orderBy("lang")
         )
 
+    # --- relational twin of the langid script-histogram stage --------------
+    # (VERDICT r3 task 6). The histogram core of language_detector.py —
+    # strip non-letters, count per-script-range chars, argmax with
+    # first-wins priority — is fully relational; only CJK kana/hangul
+    # disambiguation and Latin word-frequency stay in the UDF. The synthetic
+    # corpus is pure-ASCII word soup, so the fixture-law pattern
+    # (TESTDATA-derived deterministic injection, same law in both engines —
+    # the multimodal_decode_stats precedent) supplies multi-script content:
+    # doc_id picks the script, (n_chars, doc_id) set the injected mass, and
+    # dominance genuinely flips between latin and the injected script across
+    # rows, so the hash certifies strip + per-range counts + argmax.
+    hist_scripts = {
+        # script: (range_lo, range_hi, 8-letter phrase) — endpoints embedded
+        # as literal chars so the class compiles identically under Java
+        # regex (Spark) and RE2 (DuckDB)
+        "cjk": (0x4E00, 0x9FFF, "数据查询引擎处理"),
+        "cyrillic": (0x0400, 0x04FF, "данныеза"),
+        "greek": (0x0370, 0x03FF, "δεδομενα"),
+        "thai": (0x0E00, 0x0E7F, "ขอมลสอบถ"),
+    }
+    script_langs = {"cjk": "zh", "cyrillic": "ru", "greek": "el", "thai": "th"}
+    reps_expr = "(n_chars * (doc_id % 3)) div 16"
+    reps_sql = "(n_chars * (doc_id % 3)) // 16"
+    inject_cases = " ".join(
+        f"WHEN {i + 1} THEN text || repeat('{phrase}', reps)"
+        for i, (_, (_, _, phrase)) in enumerate(hist_scripts.items())
+    )
+    count_sqls = ", ".join(
+        f"length(letters) - length(regexp_replace(letters, '[{chr(lo)}-{chr(hi)}]', '', 'g')) AS {name}_chars"
+        for name, (lo, hi, _) in hist_scripts.items()
+    )
+    names = list(hist_scripts)
+    dominant_sql = (
+        "CASE WHEN "
+        + " AND ".join(f"latin_chars >= {n}_chars" for n in names)
+        + " THEN 'latin' "
+        + " ".join(
+            f"WHEN {' AND '.join(f'{n}_chars >= {m}_chars' for m in names[i + 1:]) or 'TRUE'} THEN '{n}'"
+            for i, n in enumerate(names[:-1])
+        )
+        + f" ELSE '{names[-1]}' END"
+    )
+    guess_sql = (
+        "CASE dominant_script "
+        + " ".join(f"WHEN '{n}' THEN '{script_langs[n]}'" for n in names)
+        + " ELSE 'en' END"
+    )
+
+    @query(
+        "langid_histogram_relational",
+        sql=f"""
+        WITH injected AS (
+          SELECT doc_id, CASE (doc_id % 5) {inject_cases} ELSE text END AS itext
+          FROM (SELECT doc_id, text, {reps_sql} AS reps FROM documents)
+        ),
+        letters_t AS (
+          SELECT doc_id, regexp_replace(itext, '[^\\p{{L}}]', '', 'g') AS letters
+          FROM injected
+        ),
+        hist AS (
+          SELECT doc_id, length(letters) AS n_letters, {count_sqls}
+          FROM letters_t
+        ),
+        lat AS (
+          SELECT *, n_letters - ({" + ".join(f"{n}_chars" for n in names)}) AS latin_chars
+          FROM hist
+        ),
+        dom AS (SELECT *, {dominant_sql} AS dominant_script FROM lat)
+        SELECT doc_id, n_letters, latin_chars,
+               {", ".join(f"{n}_chars" for n in names)},
+               dominant_script, {guess_sql} AS lang_guess
+        FROM dom ORDER BY doc_id
+        """,
+    )
+    def langid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Script-histogram langid, relational form (language_detector.py:
+        111-133 strip/count/argmax): per-doc per-range letter counts via
+        length-difference of a range-class strip — all JVM-side regexes in
+        one projection, no UDF, no shuffle beyond the final sort."""
+        docs = read_table(spark, sf_dir, "documents")
+        reps = F.expr(reps_expr)
+        itext = F.col("text")
+        for i, (_, (_, _, phrase)) in enumerate(hist_scripts.items()):
+            itext = F.when(
+                (F.col("doc_id") % 5) == (i + 1),
+                F.concat(F.col("text"), F.repeat(F.lit(phrase), reps)),
+            ).otherwise(itext)
+        letters = F.regexp_replace(itext, r"[^\p{L}]", "")
+        d = docs.select("doc_id", letters.alias("letters"))
+        d = d.select(
+            "doc_id",
+            F.length("letters").alias("n_letters"),
+            *[
+                (
+                    F.length("letters")
+                    - F.length(F.regexp_replace("letters", f"[{chr(lo)}-{chr(hi)}]", ""))
+                ).alias(f"{name}_chars")
+                for name, (lo, hi, _) in hist_scripts.items()
+            ],
+        )
+        total_non_latin = None
+        for n in names:
+            c = F.col(f"{n}_chars")
+            total_non_latin = c if total_non_latin is None else total_non_latin + c
+        d = d.withColumn("latin_chars", F.col("n_letters") - total_non_latin)
+        # first-wins priority chain (latin > cjk > cyrillic > greek > thai),
+        # mirroring the UDF core's Counter insertion order
+        dominant = F.when(
+            (F.col("latin_chars") >= F.col("cjk_chars"))
+            & (F.col("latin_chars") >= F.col("cyrillic_chars"))
+            & (F.col("latin_chars") >= F.col("greek_chars"))
+            & (F.col("latin_chars") >= F.col("thai_chars")),
+            "latin",
+        )
+        for i, n in enumerate(names[:-1]):
+            cond = F.lit(True)
+            for m in names[i + 1 :]:
+                cond = cond & (F.col(f"{n}_chars") >= F.col(f"{m}_chars"))
+            dominant = dominant.when(cond, n)
+        dominant = dominant.otherwise(names[-1])
+        d = d.withColumn("dominant_script", dominant)
+        guess = F.when(F.col("dominant_script") == "latin", "en")
+        for n in names:
+            guess = guess.when(F.col("dominant_script") == n, script_langs[n])
+        return d.select(
+            "doc_id",
+            "n_letters",
+            "latin_chars",
+            *[f"{n}_chars" for n in names],
+            "dominant_script",
+            guess.otherwise("en").alias("lang_guess"),
+        ).orderBy("doc_id")
+
     @query(
         "payload_size_tiers",
         sql="""
