@@ -79,6 +79,22 @@ def sniff_media(payload: bytes) -> tuple[str, int | None, int | None]:
             int(w) if w and w.isdigit() else None,
             int(h) if h and h.isdigit() else None,
         )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 30:
+        chunk = payload[12:16]
+        if chunk == b"VP8L" and payload[20] == 0x2F:
+            # 14-bit width-1 / height-1, LSB-first from byte 21
+            bits = int.from_bytes(payload[21:25], "little")
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if chunk == b"VP8 ":  # lossy: dims live in the frame header
+            if payload[23:26] == b"\x9d\x01\x2a":
+                w, h = _struct.unpack_from("<HH", payload, 26)
+                return "webp", (w & 0x3FFF), (h & 0x3FFF)
+            return "webp", None, None
+        if chunk == b"VP8X" and len(payload) >= 30:
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return "webp", w, h
+        return "webp", None, None
     return "unknown", None, None
 
 
@@ -302,6 +318,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         from ..functions.imagedec import decode_gif
 
         return decode_gif(payload)
+    if fmt == "tiff":
+        from ..functions.imagedec import decode_tiff
+
+        return decode_tiff(payload)
+    if fmt == "webp":
+        from ..functions.vp8l import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
         f"image decode for format={fmt!r} requires an image codec; "
         "ship PIL via --py-files in a full deployment"
@@ -488,16 +512,59 @@ def synth_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return header + info + data
 
 
+def synth_tiff(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal real TIFF (II, 8-bit RGB, one uncompressed strip)."""
+    data = bytes(rgb) * (width * height)
+    # header + pixel data, IFD0 after the strip
+    ifd_off = 8 + len(data)
+    out = bytearray(b"II*\x00" + _struct.pack("<I", ifd_off) + data)
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (258, 3, 3, 0),  # BitsPerSample triple lives in the extra area
+        (259, 3, 1, 1),
+        (262, 3, 1, 2),
+        (273, 4, 1, 8),
+        (277, 3, 1, 3),
+        (278, 3, 1, height),
+        (279, 4, 1, len(data)),
+    ]
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
+    out += _struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 258:
+            out += _struct.pack("<HHII", tag, typ, count, extra_off)
+        else:
+            out += _struct.pack("<HHII", tag, typ, count, value)
+    out += _struct.pack("<I", 0)  # next IFD
+    out += _struct.pack("<HHH", 8, 8, 8)
+    return bytes(out)
+
+
+def synth_webp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal real VP8L WebP via the package's spec-valid encoder."""
+    from ..functions.vp8l import encode_webp_lossless
+
+    px = np.empty((height, width, 3), dtype=np.uint8)
+    px[:, :] = rgb
+    return encode_webp_lossless(px)
+
+
+_FIXTURE_ENCODERS = (synth_png, synth_bmp, synth_tiff, synth_webp)
+_FIXTURE_FORMATS = ("png", "bmp", "tiff", "webp")
+
+
 def media_fixture(spark, n: int = MEDIA_FIXTURE_ROWS) -> DataFrame:
     """Deterministic (key, media) table whose generation LAW is pure
     arithmetic on the key — so a SQL oracle can predict every decoded
     statistic without being able to decode: key i is a (4 + i%13) ×
-    (3 + i%7) image of constant gray value i%251, PNG for even i, BMP for
-    odd. The bytes are REAL encodings decoded by the real decoders."""
+    (3 + i%7) image of constant gray value i%251, cycling PNG / BMP /
+    TIFF / WebP-lossless by i%4. The bytes are REAL encodings decoded by
+    the real decoders."""
     rows = []
     for i in range(n):
         w, h, c = 4 + i % 13, 3 + i % 7, i % 251
-        enc = synth_png if i % 2 == 0 else synth_bmp
+        enc = _FIXTURE_ENCODERS[i % 4]
         rows.append((i, bytearray(enc(w, h, (c, c, c)))))
     return spark.createDataFrame(rows, "key int, media binary")
 
@@ -542,10 +609,12 @@ def decoded_image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 def register(query) -> None:
+    fmt_case = " ".join(f"WHEN {i} THEN '{f}'" for i, f in enumerate(_FIXTURE_FORMATS))
+
     @query(
         "multimodal_decode_stats",
         sql=f"""
-        SELECT CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        SELECT CASE (i % 4) {fmt_case} END AS format,
                count(*) AS images,
                CAST(sum(4 + i % 13) AS BIGINT) AS total_width,
                CAST(sum(3 + i % 7) AS BIGINT) AS total_height,
@@ -555,9 +624,10 @@ def register(query) -> None:
     )
     def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
         """Distributed image decode, value-checked end-to-end: Spark decodes
-        REAL PNG/BMP bytes inside Arrow batches; the DuckDB oracle computes
-        the same aggregate from the fixture's generation law. A decoder that
-        misreports a single dimension or pixel hash-mismatches."""
+        REAL PNG/BMP/TIFF/WebP-lossless bytes inside Arrow batches; the
+        DuckDB oracle computes the same aggregate from the fixture's
+        generation law. A decoder that misreports a single dimension or
+        pixel hash-mismatches."""
         stats = decoded_image_stats(media_fixture(spark))
         return (
             stats.groupBy("format")
