@@ -44,21 +44,10 @@ def query(name: str, sql: str | None = None):
 # driver's exact pandas-fetch normalization at sf0.001. Rotation history is
 # documented in COVERAGE.md.
 GATE_ROTATION_FIRST = [
-    # never driver-checked before round 3
-    "dedup_exact",  # oracle-backed; displaced by design in r2 (green in r1)
-    "ann_lsh_verified_neardup",  # new in r3 (composed LSH→verify near-dup)
-    "ann_ivf_kmeans_topk",  # new in r3 (learned-quantizer IVF, rows-only)
-    "multimodal_decode_stats",  # new in r3 (distributed real image decode)
-    "gopher_quality_filters",  # new in r3 (Gopher-rule doc filters)
-    "gopher_repetition_filters",  # new in r3 (dup-line / top-bigram rules)
-    "c4_quality_filters",  # new in r3 (C4 cleaning rules)
-    "extract_pipeline_full",  # rows-only
-    "role_distribution",  # rows-only
-    "extract_method_routing",  # rows-only
-    "extract_language_detection",  # rows-only
-]
-GATE_ROTATION_LAST = [
-    # hash-certified green in BOTH r1 and r2 — rotated past the cap in r3
+    # r4 priority: (a) the 11 entries displaced in r3 rotate back in (every
+    # oracle-backed entry gets a driver row in a trailing 2-round window —
+    # VERDICT r3 task 3), (b) queries that are NEW or whose implementation
+    # CHANGED this round and need (re)certification
     "word_char_counts",
     "median_confidence",
     "unicode_dash_normalize",
@@ -70,6 +59,29 @@ GATE_ROTATION_LAST = [
     "payload_size_tiers",
     "confidence_statistics",
     "quality_tiers",
+    "langid_histogram_relational",  # NEW in r4 (relational langid twin)
+    "multimodal_decode_stats",  # CHANGED r4: fixture now cycles 4 formats (TIFF+WebP)
+    "ann_lsh_verified_neardup",  # CHANGED r4: adaptive banding, single self-join
+    "ann_lsh_buckets",  # CHANGED r4: adaptive sketch width
+    "ann_lsh_candidate_pairs",  # CHANGED r4: adaptive sketch width
+]
+GATE_ROTATION_LAST = [
+    # hash-certified in r3 (and earlier where applicable), implementation
+    # unchanged this round — rotated past the cap; every oracle-backed one
+    # is still strict-checked each pytest run by
+    # tests/test_driver_gate_overflow.py with the driver's own comparison
+    "dedup_exact",
+    "gopher_quality_filters",
+    "gopher_repetition_filters",
+    "c4_quality_filters",
+    "pricing_summary",
+    "shipping_priority",
+    "revenue_forecast",
+    "regional_supplier_volume",
+    "extract_pipeline_full",  # rows-only
+    "role_distribution",  # rows-only
+    "extract_method_routing",  # rows-only
+    "extract_language_detection",  # rows-only
 ]
 
 
