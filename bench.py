@@ -205,6 +205,87 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
     }
 
 
+def _skew_plan_metrics(df) -> dict[str, int]:
+    """Walk the EXECUTED adaptive plan and sum the AQE skew metrics
+    (numSkewedPartitions / numSkewedSplits live on AQEShuffleRead nodes)."""
+    found: dict[str, int] = {}
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if "skew" in kv._1().lower():
+                    found[kv._1()] = found.get(kv._1(), 0) + int(kv._2().value())
+        except Exception:
+            pass
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
+def _skew_split_evidence(scale_path: str) -> dict:
+    """Observed AQE skew-join routing at bench scale (VERDICT r3 task 8):
+    the scaling corpus puts ~30% of documents on 3 hot domains; joining it
+    against a per-domain dim on that key with size thresholds scaled to the
+    corpus (advisory 2 MB — the 256 MB production default scaled by corpus
+    size) must make AQE split the hot shuffle partitions. Reports the
+    skew metrics read from the executed adaptive plan, closing the loop
+    from the skewJoin config to observed runtime behavior."""
+    from pyspark.sql import functions as F
+
+    from smoldocling_ocr_spark.session import get_spark
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    s = get_spark(app_name="bench_skew", cores=CPUS, extra_conf=confs)
+    try:
+        docs = s.read.parquet(scale_path)
+        domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+        keyed = docs.select(domain.alias("domain"), "html")
+        # dim as a literal relation (bounded ~200-row domain catalog):
+        # OptimizeSkewedJoin only matches SMJ(Sort(Shuffle), Sort(Shuffle)),
+        # so a dim derived inline via distinct() — which leaves an Aggregate
+        # between the stage and the join — would mask the skew handling
+        domains = [r.domain for r in keyed.select("domain").distinct().collect()]
+        dim = s.createDataFrame([(d,) for d in domains], ["domain"]).withColumn(
+            "weight", F.length("domain")
+        )
+        joined = keyed.join(dim, "domain").agg(
+            F.sum(F.length("html") + F.col("weight")).alias("s")
+        )
+        t0 = time.time()
+        joined.collect()
+        sec = time.time() - t0
+        metrics = _skew_plan_metrics(joined)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        return {
+            "skewed_partitions": metrics.get("numSkewedPartitions", 0),
+            "skewed_splits": metrics.get("numSkewedSplits", 0),
+            "skew_marked_joins": plan.count("skew=true"),
+            "advisory_partition_bytes": "2MB",
+            "sec": round(sec, 3),
+        }
+    finally:
+        s.stop()
+
+
 def main() -> None:
     from smoldocling_ocr_spark.plans.catalog import spark_queries
     from smoldocling_ocr_spark.session import get_spark
@@ -258,6 +339,10 @@ def main() -> None:
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
         rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+        try:
+            result["skew"] = _skew_split_evidence(scale_path)
+        except Exception as exc:  # never lose the headline JSON line
+            result["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
         try:
             result["scaling"] = {
                 "scaling_docs": scale_docs,
