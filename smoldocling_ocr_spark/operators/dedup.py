@@ -304,3 +304,83 @@ def register(query) -> None:
             .select("doc_id", F.concat(*[F.col(f"bit{b}") for b in range(16)]).alias("simhash"))
             .orderBy("doc_id")
         )
+
+
+def register_span_dedup(query) -> None:
+    """C4-style global span dedup (Raffel et al. 2020 §2.2 deduplicate
+    "three-sentence spans" across the corpus, re-expressed for the
+    single-line corpus as word 3-gram chunks): chunk every document into
+    consecutive ≤3-word spans, keep each distinct span's FIRST occurrence
+    corpus-wide (min (doc_id, pos) — encoded as one integer so both engines
+    agree without composite min_by), drop later instances, and rebuild the
+    cleaned document.
+
+    100 TB shape: one explode → one groupBy(span) with map-side combine →
+    one join back on span → one groupBy(doc) rebuild. The span relation is
+    the only large shuffle and its key is the span text (hash-valued
+    cardinality — grows with the corpus, never a fixed bucket count)."""
+    SPAN = 3
+    OWNER_ENC = 1_000_000  # pos < 1e6 per doc: owner = doc_id*1e6 + pos
+
+    @query(
+        "global_span_dedup",
+        sql=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, u.i::INT AS pos,
+                 array_to_string(t[(u.i * {SPAN} + 1):(u.i * {SPAN} + {SPAN})], ' ') AS span
+          FROM toks, LATERAL unnest(range((len(t) + {SPAN} - 1) // {SPAN})) AS u(i)
+        ),
+        owner AS (
+          SELECT span, min(doc_id * {OWNER_ENC} + pos) AS owner FROM chunks GROUP BY span
+        ),
+        marked AS (
+          SELECT c.doc_id, c.pos, c.span,
+                 (c.doc_id * {OWNER_ENC} + c.pos = o.owner) AS keep
+          FROM chunks c JOIN owner o ON c.span = o.span
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS removed_spans,
+               substring(md5(coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY pos), '')), 1, 16) AS cleaned_fp
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+    )
+    def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        n_chunks = F.floor((F.size(toks) + SPAN - 1) / SPAN).cast("int")
+        spans = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * SPAN + 1, SPAN)),
+        )
+        ex = docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+        owner = ex.groupBy("span").agg(
+            F.min(F.col("doc_id") * OWNER_ENC + F.col("pos")).alias("owner")
+        )
+        marked = ex.join(owner, "span").withColumn(
+            "keep", F.col("doc_id") * OWNER_ENC + F.col("pos") == F.col("owner")
+        )
+        kept_sorted = F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
+        )
+        return (
+            marked.groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_spans"),
+                F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("removed_spans"),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.transform(kept_sorted, lambda s: s.getField("span")),
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("cleaned_fp"),
+            )
+            .orderBy("doc_id")
+        )

@@ -4,14 +4,16 @@ Image/audio/video payloads ride as ``binary`` columns with struct metadata —
 the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. No image library ships in this container;
 decode is nevertheless REAL for the formats that need no native codec:
-PNG (stdlib zlib + scanline unfiltering), uncompressed BMP, baseline JPEG
-and GIF (functions/imagedec.py). Arithmetic-coded JPEG and exotic variants stay
-declared NotImplementedError stubs.
+PNG (stdlib zlib + scanline unfiltering; gray/RGB/RGBA/gray+alpha/palette,
+bit depths 1-16, Adam7 interlace), uncompressed BMP, baseline + progressive
+JPEG, GIF, TIFF (functions/imagedec.py), and WebP-lossless
+(functions/vp8l.py). Arithmetic-coded JPEG, lossy VP8, and exotic variants
+stay declared NotImplementedError stubs.
 
 Ops:
 * ``probe_media``      — container format + dimensions + EXIF
                          (orientation/datetime/map) from headers
-* ``decode_image``     — PNG/BMP/baseline-JPEG/GIF → HxWx3 uint8;
+* ``decode_image``     — PNG/BMP/JPEG/GIF/TIFF/WebP-lossless → HxWx3 uint8;
                          deterministic fake under ``fake=True`` for
                          format-agnostic plumbing tests
 * ``extract_features`` — mapInPandas over binary batches → fixed-width float
@@ -205,69 +207,117 @@ def parse_exif(payload: bytes) -> dict[str, str]:
     return out
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel (8-bit)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
+# Adam7 interlace passes: (x_off, y_off, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+# legal (color_type, bit_depth) pairs per the PNG spec
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """Pure-Python PNG decode (zlib is stdlib; only the scanline unfiltering
-    needs code): 8-bit gray/RGB/RGBA/gray+alpha, non-interlaced. Returns
-    HxWx3 uint8."""
-    import zlib
-
-    width, height = _struct.unpack(">II", payload[16:24])
-    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
-        raise NotImplementedError(
-            f"PNG variant unsupported without a codec (depth={bit_depth}, "
-            f"color_type={color_type}, interlaced={bool(interlace)})"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    # concatenate IDAT chunks
-    idat = bytearray()
-    i = 8
-    while i + 8 <= len(payload):
-        (length,) = _struct.unpack(">I", payload[i : i + 4])
-        ctype = payload[i + 4 : i + 8]
-        if ctype == b"IDAT":
-            idat += payload[i + 8 : i + 8 + length]
-        if ctype == b"IEND":
-            break
-        i += 12 + length
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    out = np.empty((height, stride), dtype=np.uint8)
+def _png_unfilter(raw: bytes, pos: int, ph: int, stride: int, bpp: int):
+    """Undo per-scanline filtering for one (sub-)image; returns (rows, pos)."""
+    out = np.empty((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(height):
+    for y in range(ph):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
         pos += 1 + stride
         if ftype == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
         elif ftype == 2:  # Up
             line += prev
         elif ftype == 3:  # Average
             for x in range(stride):
-                left = int(line[x - ch]) if x >= ch else 0
+                left = int(line[x - bpp]) if x >= bpp else 0
                 line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
-                a = int(line[x - ch]) if x >= ch else 0
+                a = int(line[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 line[x] = (line[x] + pred) & 0xFF
         out[y] = line
         prev = line
-    px = out.reshape(height, width, ch)
+    return out, pos
+
+
+def _png_samples(rows: np.ndarray, pw: int, ch: int, depth: int) -> np.ndarray:
+    """Filtered-byte rows → (ph, pw, ch) uint8 samples (16-bit takes the
+    high byte — PIL's display convention; sub-byte depths unpack MSB-first
+    per the spec)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * ch].reshape(ph, pw, ch)
+    if depth == 16:
+        return rows[:, : pw * ch * 2].reshape(ph, pw, ch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None]
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode (zlib is stdlib): gray / RGB / RGBA /
+    gray+alpha / palette color types, bit depths 1-16 (16 → high byte),
+    Adam7 interlace. Returns HxWx3 uint8."""
+    import zlib
+
+    width, height = _struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if color_type not in _PNG_CHANNELS or bit_depth not in _PNG_DEPTHS.get(color_type, ()):
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={bit_depth}, color_type={color_type})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    idat = bytearray()
+    plte: bytes | None = None
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + length]
+        elif ctype == b"PLTE":
+            plte = payload[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            break
+        i += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    bpp = max(1, ch * bit_depth // 8)
+    samples = np.zeros((height, width, ch), dtype=np.uint8)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    pos = 0
+    for x_off, y_off, x_step, y_step in passes:
+        pw = (width - x_off + x_step - 1) // x_step
+        ph = (height - y_off + y_step - 1) // y_step
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * bit_depth + 7) // 8
+        rows, pos = _png_unfilter(raw, pos, ph, stride, bpp)
+        sub = _png_samples(rows, pw, ch, bit_depth)
+        samples[y_off::y_step, x_off::x_step] = sub
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        lut = np.frombuffer(plte, dtype=np.uint8)
+        lut = lut[: (len(lut) // 3) * 3].reshape(-1, 3)
+        idx = np.minimum(samples[:, :, 0], len(lut) - 1)
+        return lut[idx]
+    if color_type in (0, 4) and bit_depth < 8:
+        # scale sub-byte gray to full range (255 / (2^d − 1) is exact)
+        samples = (samples * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if ch == 1:
-        return np.repeat(px, 3, axis=2)
+        return np.repeat(samples, 3, axis=2)
     if ch == 2:  # gray+alpha → drop alpha
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    return px[:, :, :3]  # RGB / RGBA → drop alpha
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    return samples[:, :, :3].copy()  # RGB / RGBA → drop alpha
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

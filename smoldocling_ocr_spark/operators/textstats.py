@@ -243,6 +243,71 @@ def register(query) -> None:
             guess.otherwise("en").alias("lang_guess"),
         ).orderBy("doc_id")
 
+    # --- PII scan + redaction (training-data pipeline op) -------------------
+    # The standard pre-training privacy pass (e.g. BigCode/StarCoder PII
+    # pipeline, C4's descendant datasets): detect emails / NANP phones /
+    # IPv4 / SSN patterns, count per document, and redact with typed
+    # placeholders. All four regexes are written to behave identically
+    # under Java regex (Spark) and RE2 (DuckDB). The synthetic corpus has
+    # no PII, so the fixture-law pattern injects deterministic PII from
+    # doc_id in BOTH engines — counts vary per doc and the redacted
+    # fingerprint certifies the actual rewrite, not just the counters.
+    pii_res = {
+        "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ssns": r"\b\d{3}-\d{2}-\d{4}\b",
+        "phones": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+        "ips": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    }
+    pii_tokens = {"emails": "[EMAIL]", "ssns": "[SSN]", "phones": "[PHONE]", "ips": "[IP]"}
+    inject_sql = (
+        "CASE (doc_id % 5) "
+        "WHEN 1 THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now' "
+        "WHEN 2 THEN text || ' call 555-123-4567 or 555.987.6543' "
+        "WHEN 3 THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged' "
+        "WHEN 4 THEN text || ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' filed' "
+        "ELSE text END"
+    )
+    count_sqls = ", ".join(
+        f"CAST(length(regexp_extract_all(itext, '{p}')) AS BIGINT) AS {name}"
+        for name, p in pii_res.items()
+    )
+    redact_sql = "itext"
+    for name, p in pii_res.items():  # redaction order: emails→ssns→phones→ips
+        redact_sql = f"regexp_replace({redact_sql}, '{p}', '{pii_tokens[name]}', 'g')"
+
+    @query(
+        "pii_scan_redact",
+        sql=f"""
+        WITH injected AS (SELECT doc_id, {inject_sql} AS itext FROM documents)
+        SELECT doc_id, {count_sqls},
+               substring(md5({redact_sql}), 1, 16) AS redacted_fp
+        FROM injected ORDER BY doc_id
+        """,
+    )
+    def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-doc PII counts + redacted-text fingerprint, all JVM-side
+        regex (one projection, no shuffle beyond the final sort)."""
+        docs = read_table(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        itext = (
+            F.when(did % 5 == 1, F.concat(F.col("text"), F.lit(" reach user"), did.cast("string"), F.lit("@example.com now")))
+            .when(did % 5 == 2, F.concat(F.col("text"), F.lit(" call 555-123-4567 or 555.987.6543")))
+            .when(did % 5 == 3, F.concat(F.col("text"), F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7 logged")))
+            .when(did % 5 == 4, F.concat(F.col("text"), F.lit(" ssn 123-45-"), (1000 + did % 9000).cast("string"), F.lit(" filed")))
+            .otherwise(F.col("text"))
+        )
+        d = docs.select("doc_id", itext.alias("itext"))
+        counts = [
+            F.size(F.regexp_extract_all(F.col("itext"), F.lit(p), 0)).cast("long").alias(name)
+            for name, p in pii_res.items()
+        ]
+        redacted = F.col("itext")
+        for name, p in pii_res.items():
+            redacted = F.regexp_replace(redacted, p, pii_tokens[name])
+        return d.select(
+            "doc_id", *counts, F.substring(F.md5(redacted), 1, 16).alias("redacted_fp")
+        ).orderBy("doc_id")
+
     @query(
         "payload_size_tiers",
         sql="""

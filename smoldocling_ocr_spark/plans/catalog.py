@@ -60,6 +60,8 @@ GATE_ROTATION_FIRST = [
     "confidence_statistics",
     "quality_tiers",
     "langid_histogram_relational",  # NEW in r4 (relational langid twin)
+    "pii_scan_redact",  # NEW in r4 (PII counts + typed redaction, fixture-law)
+    "global_span_dedup",  # NEW in r4 (C4-style corpus-wide span dedup)
     "multimodal_decode_stats",  # CHANGED r4: fixture now cycles 4 formats (TIFF+WebP)
     "ann_lsh_verified_neardup",  # CHANGED r4: adaptive banding, single self-join
     "ann_lsh_buckets",  # CHANGED r4: adaptive sketch width
@@ -78,6 +80,8 @@ GATE_ROTATION_LAST = [
     "shipping_priority",
     "revenue_forecast",
     "regional_supplier_volume",
+    "noise_page_number_tagging",
+    "garbled_text_predicate",
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -988,6 +992,7 @@ from ..operators import simsearch as _simsearch  # noqa: E402
 from ..operators import textstats as _textstats  # noqa: E402
 
 _dedup.register(query)
+_dedup.register_span_dedup(query)
 _simsearch.register(query)
 _textstats.register(query)
 _multimodal.register(query)

@@ -583,3 +583,110 @@ def test_tiff_decode_image_routing():
     fmt, w, h = sniff_media(enc)
     assert (fmt, w, h) == ("tiff", 6, 5)
     assert np.array_equal(decode_image(enc), px)
+
+
+# --- PNG variants (palette / interlace / sub-byte + 16-bit depths) ----------
+
+
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_png(arr, color_type, depth, interlace=0, palette=None):
+    """Hand-built PNG: filter-0 scanlines, optional Adam7 pass ordering,
+    MSB-first bit packing for sub-byte depths, big-endian 16-bit."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = arr.shape[:2]
+    a = arr.reshape(h, w, ch)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    raw = bytearray()
+    passes = _PNG_ADAM7 if interlace else [(0, 0, 1, 1)]
+    for xo, yo, xs, ys in passes:
+        sub = a[yo::ys, xo::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            row = sub[y].reshape(pw * ch)
+            if depth == 8:
+                line = row.astype(np.uint8).tobytes()
+            elif depth == 16:
+                line = b"".join(struct.pack(">H", int(v)) for v in row)
+            else:
+                bits = []
+                for v in row:
+                    for b in range(depth - 1, -1, -1):
+                        bits.append((int(v) >> b) & 1)
+                while len(bits) % 8:
+                    bits.append(0)
+                line = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+            raw += b"\x00" + line
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def _png_decode(data):
+    from smoldocling_ocr_spark.operators.multimodal import _decode_png
+
+    return _decode_png(data)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette_depths(depth):
+    n = 1 << depth
+    pal = RNG.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = RNG.integers(0, n, (9, 13), dtype=np.uint8)
+    got = _png_decode(make_png(idx, 3, depth, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_scaling(depth):
+    maxv = (1 << depth) - 1
+    g = RNG.integers(0, maxv + 1, (5, 11), dtype=np.uint8)
+    got = _png_decode(make_png(g, 0, depth))
+    expect = (g * (255 // maxv)).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_png_adam7_interlace_matches_sequential():
+    px = RNG.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    seq = _png_decode(make_png(px, 2, 8, interlace=0))
+    inter = _png_decode(make_png(px, 2, 8, interlace=1))
+    assert np.array_equal(seq, px)
+    assert np.array_equal(inter, px)
+
+
+def test_png_adam7_interlaced_palette():
+    pal = RNG.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 16, (10, 6), dtype=np.uint8)
+    got = _png_decode(make_png(idx, 3, 4, interlace=1, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_png_16bit_high_byte():
+    hi = RNG.integers(0, 256, (4, 7, 3), dtype=np.uint16)
+    v16 = (hi << 8) | 0x5A  # arbitrary low byte must be dropped
+    got = _png_decode(make_png(v16, 2, 16))
+    assert np.array_equal(got, hi.astype(np.uint8))
+
+
+def test_png_invalid_combo_raises():
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    data = make_png(px, 2, 8)
+    bad = bytearray(data)
+    bad[24] = 4  # depth 4 is illegal for RGB color type
+    with pytest.raises(NotImplementedError):
+        _png_decode(bytes(bad))
