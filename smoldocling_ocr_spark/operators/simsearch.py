@@ -298,20 +298,25 @@ def lsh_verified_pairs(
     )
 
 
+def _scores_expr(centroids: list[list[float]]):
+    """Per-row cosine scores against all centroids via ONE k×DIM matrix
+    LITERAL and a higher-order transform. One Literal node instead of k×DIM
+    expression nodes, so the generated code has the SAME shape on every
+    Lloyd iteration (centroid values live in the literal's data, not the
+    plan) — whole-stage codegen compiles once and is cache-hit for the rest
+    of the fit, where the old per-value-literal form recompiled ~1 s of
+    codegen per iteration."""
+    matrix = F.lit([[float(v) for v in c] for c in centroids])
+    return F.transform(matrix, lambda c: _cosine(F.col("embedding"), c))
+
+
 def _assign_expr(centroids: list[list[float]]):
     """Nearest-centroid (max cosine) assignment as ONE JVM-side expression:
     scores = [cos(embedding, c_j)]; list_id = first argmax. No shuffle, no
-    N×k row explosion — the broadcastable state is the centroid literals.
-
-    Codegen-bounded: k×DIM literals in the expression tree, fine to
-    KMEANS_LITERAL_MAX_K; :func:`assign_lists` switches to the
-    broadcast-join form past that (VERDICT r3 item 4)."""
-    scores = F.array(
-        *[
-            _cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c]))
-            for c in centroids
-        ]
-    )
+    N×k row explosion — the broadcastable state is the centroid matrix
+    literal. :func:`assign_lists` switches to the broadcast-join form past
+    KMEANS_LITERAL_MAX_K (VERDICT r3 item 4)."""
+    scores = _scores_expr(centroids)
     # array_position is 1-based; ties resolve to the first (deterministic)
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
@@ -338,12 +343,7 @@ def assign_lists(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         scored = emb.select(
             "vec_id",
             "embedding",
-            F.array(
-                *[
-                    _cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c]))
-                    for c in centroids
-                ]
-            ).alias("scores"),
+            _scores_expr(centroids).alias("scores"),
         )
         return scored.select(
             "vec_id",
