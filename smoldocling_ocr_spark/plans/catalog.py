@@ -62,6 +62,7 @@ GATE_ROTATION_FIRST = [
     "langid_histogram_relational",  # NEW in r4 (relational langid twin)
     "pii_scan_redact",  # NEW in r4 (PII counts + typed redaction, fixture-law)
     "global_span_dedup",  # NEW in r4 (C4-style corpus-wide span dedup)
+    "bpe_train_merges",  # NEW in r4 (distributed BPE tokenizer fit, rows-only)
     "multimodal_decode_stats",  # CHANGED r4: fixture now cycles 4 formats (TIFF+WebP)
     "ann_lsh_verified_neardup",  # CHANGED r4: adaptive banding, single self-join
     "ann_lsh_buckets",  # CHANGED r4: adaptive sketch width
@@ -82,6 +83,7 @@ GATE_ROTATION_LAST = [
     "regional_supplier_volume",
     "noise_page_number_tagging",
     "garbled_text_predicate",
+    "hallucination_scan",
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -991,8 +993,10 @@ from ..operators import multimodal as _multimodal  # noqa: E402
 from ..operators import simsearch as _simsearch  # noqa: E402
 from ..operators import textstats as _textstats  # noqa: E402
 
+from ..operators import bpe as _bpe  # noqa: E402
 _dedup.register(query)
 _dedup.register_span_dedup(query)
+_bpe.register(query)
 _simsearch.register(query)
 _textstats.register(query)
 _multimodal.register(query)
