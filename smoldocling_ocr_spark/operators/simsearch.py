@@ -739,3 +739,166 @@ def register(query) -> None:
     # inertia monotone, nprobe=k == brute force, separable-cluster recovery
     def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ivf_kmeans_topk(spark, sf_dir)
+
+
+# --- product quantization (PQ) ---------------------------------------------
+# The memory-side ANN scale path (Jégou et al. 2011): split DIM into
+# PQ_M subspaces, k-means each subspace to PQ_K codes, store each vector as
+# PQ_M uint8 codes (64×f32 = 256 B → 8 B at M=8), and answer queries with
+# asymmetric distance computation (ADC): per-query L2 tables of size M×K,
+# candidate score = sum of M table lookups — no float vector ever touched
+# at query time. Composable with the IVF list pruning above (IVF-PQ).
+
+PQ_M = 8  # subspaces (DIM/PQ_M dims each)
+PQ_K = 16  # codes per subspace
+
+
+def pq_fit(
+    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = 3
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means, ALL subspaces in each single job: explode
+    every vector into (sub_id, subvec) rows once per iteration, assign via
+    the broadcast codebook matrix literal, and update every (sub_id, code)
+    centroid in one groupBy with map-side combine. Per iteration: one job,
+    m·k rows to the driver. Deterministic seeds (first k vectors' slices)
+    and first-argmin tie-break, so the codebook is a pure corpus function."""
+    d = DIM // m
+    seed_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    books = [
+        [[float(v) for v in r.embedding[s * d : (s + 1) * d]] for r in seed_rows]
+        for s in range(m)
+    ]
+    subs = emb.select(
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * d + 1, d) for s in range(m)])
+        ).alias("sub_id", "subvec")
+    )
+    for _ in range(iters):
+        matrix = F.lit([[[float(v) for v in c] for c in book] for book in books])
+        dists = F.transform(
+            F.element_at(matrix, F.col("sub_id") + 1),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("subvec"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        agg = (
+            subs.select(
+                "sub_id",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("code"),
+                "subvec",
+            )
+            .groupBy("sub_id", "code")
+            .agg(
+                *[
+                    F.avg(F.element_at("subvec", i + 1).cast("double")).alias(f"c{i}")
+                    for i in range(d)
+                ]
+            )
+            .collect()
+        )
+        new_books = [list(b) for b in books]  # empty cells keep old centroid
+        for r in agg:
+            new_books[r.sub_id][r.code] = [r[f"c{i}"] for i in range(d)]
+        books = new_books
+    return books
+
+
+def _pq_codes_expr(books: list[list[list[float]]]):
+    """array<int> of PQ_M nearest-code ids per row — one matrix literal,
+    shuffle-free, constant codegen shape across refits."""
+    m = len(books)
+    d = DIM // m
+    matrix = F.lit([[[float(v) for v in c] for c in book] for book in books])
+    def code_for(s: int):
+        sub = F.slice("embedding", s * d + 1, d)
+        dists = F.transform(
+            F.element_at(matrix, s + 1),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return F.array(*[code_for(s) for s in range(m)])
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes array<int>) — the 8-byte-per-vector representation."""
+    return emb.select("vec_id", _pq_codes_expr(books).alias("codes"))
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    topk: int = TOPK,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ADC top-k over PQ codes: queries keep full precision, corpus rows are
+    codes only. Per query the M×K distance table rides as ONE literal; the
+    scan cost is M array lookups + adds per candidate — no N×DIM floats.
+    Plan: encoded corpus (shuffle-free projection) × broadcast query tables
+    → per-query top-k window. Ties break to the lowest neighbor id.
+    Pass ``books`` to search with a pre-fitted codebook (tests use this to
+    pin the zero-quantization-error equivalence with the TRUE codebook —
+    a fresh Lloyd fit may land on a different local optimum)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    if books is None:
+        books = pq_fit(emb, m=m, k=k, iters=iters)
+    d = DIM // m
+    encoded = pq_encode(emb, books)
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    tables = []  # (query_id, M×K double table) as rows of a broadcast df
+    for r in q_rows:
+        qv = [float(v) for v in r.embedding]
+        tab = [
+            [
+                sum((qv[s * d + i] - c[i]) ** 2 for i in range(d))
+                for c in books[s]
+            ]
+            for s in range(m)
+        ]
+        tables.append((int(r.vec_id), tab))
+    qdf = spark.createDataFrame(tables, "query_id long, tab array<array<double>>")
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("tab"), lambda c, t: F.element_at(t, c + 1)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def register_pq(query) -> None:
+    @query("ann_pq_topk")  # rows-only: iterative per-subspace Lloyd fit
+    # (per-brief exemption); zero-quantization-error equivalence to exact
+    # L2 search and recall measurement pinned in tests/test_simsearch.py
+    def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return pq_topk(spark, sf_dir)

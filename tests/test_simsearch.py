@@ -195,6 +195,89 @@ def test_ivf_recall_sweep_and_exhaustive_invariant(spark):
     assert recalls[-1] == 1.0  # exhaustive probe == brute force
 
 
+def test_pq_adc_invariants(spark, capsys):
+    """Product quantization (pq_fit / pq_encode / pq_topk):
+    (a) codes are valid and the encoded table is M ints per vector;
+    (b) ZERO-QUANTIZATION-ERROR equivalence — on a corpus whose vectors are
+        exact codebook reconstructions, ADC distance equals exact L2 and
+        PQ top-k reproduces brute-force L2 top-k exactly;
+    (c) measured recall@3 vs exact L2 on the real corpus is printed (the
+        near-uniform synthetic vectors are PQ's hardest regime)."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from smoldocling_ocr_spark.operators.simsearch import (
+        DIM,
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(emb, iters=2)
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r.codes) == PQ_M for r in codes)
+    assert all(0 <= c < PQ_K for r in codes for c in r.codes)
+
+    # (b) exact-reconstruction corpus: every vector concatenates one
+    # centroid per subspace → quantization error 0 → ADC == exact L2
+    rng = np.random.default_rng(5)
+    d = DIM // PQ_M
+    toy_books = rng.normal(0, 1, (PQ_M, 4, d))
+    rows = []
+    for i in range(40):
+        picks = rng.integers(0, 4, PQ_M)
+        vec = np.concatenate([toy_books[s][picks[s]] for s in range(PQ_M)])
+        rows.append(Row(vec_id=i, label=int(i % 10), embedding=[float(v) for v in vec]))
+    toy = spark.createDataFrame(rows)
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    toy.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    toy_books_l = [[[float(v) for v in c] for c in book] for book in toy_books]
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_topk(spark, tmp, m=PQ_M, k=4, books=toy_books_l).collect()
+    }
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    for q in range(5):
+        exact = sorted(
+            (float(((vecs[q] - vecs[j]) ** 2).sum()), j) for j in vecs if j != q
+        )
+        for rank in range(1, 4):
+            assert got[(q, rank)] == exact[rank - 1][1], (q, rank)
+
+    # (c) real-corpus recall@3 vs exact L2 brute force
+    full = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    pq_res: dict[int, set[int]] = {}
+    for r in pq_topk(spark, SF_DIR).collect():
+        pq_res.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q in range(5):
+        exact3 = {
+            j
+            for _, j in sorted(
+                (float(((full[q] - full[j]) ** 2).sum()), j) for j in full if j != q
+            )[:3]
+        }
+        hits += len(exact3 & pq_res.get(q, set()))
+        total += 3
+    print(f"pq recall@3 (m={PQ_M}, k={PQ_K}): {hits}/{total} = {hits / total:.3f}")
+    # Near-uniform random vectors are PQ's WORST case: with no cluster
+    # structure the per-subspace quantization error is the same order as
+    # the query-neighbor distances themselves, so absolute recall is low by
+    # construction (deterministic 1/15 on this corpus). The CORRECTNESS pin
+    # is the zero-quantization-error equivalence above; on clustered real
+    # embeddings the error concentrates inside clusters and recall rises
+    # with k (8 bytes/vector at these settings).
+    assert hits > 0
+
+
 def test_kmeans_large_k_broadcast_assignment(spark, monkeypatch):
     """VERDICT r3 item 4: at k > KMEANS_LITERAL_MAX_K the assignment must
     switch to the broadcast-join form (O(DIM) expression tree — no k×DIM
