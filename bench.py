@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "ann_lsh_verified_neardup",
     "embedding_cosine_neardup",
     "token_counting",
+    "pii_scan_redact",
+    "global_span_dedup",
     "text_quality_scoring",
     "doc_fingerprint",
     "payload_size_tiers",
