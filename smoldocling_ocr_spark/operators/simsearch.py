@@ -902,3 +902,87 @@ def register_pq(query) -> None:
     # L2 search and recall measurement pinned in tests/test_simsearch.py
     def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pq_topk(spark, sf_dir)
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN shape (Jégou et al. 2011
+    IVFADC): the coarse quantizer (per-label lists, as in :func:`ivf_topk`)
+    prunes the corpus to nprobe inverted lists per query, and the fine
+    search runs over PQ CODES with per-query ADC tables — so the scan
+    touches ~N·nprobe/n_lists candidates at M byte-lookups each, never a
+    float vector. Plan: encoded corpus keeps its list id (one shuffle-free
+    projection) → probe relation (queries × broadcast centroids → top-nprobe)
+    broadcast into an equi-join on list id (partition-pruned at scale) →
+    per-query top-k window. With nprobe = all lists and a zero-error
+    codebook this MUST equal exact search (invariant pinned in tests)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    if books is None:
+        books = pq_fit(emb, m=m, k=k)
+    d = DIM // m
+    encoded = emb.select("vec_id", "label", _pq_codes_expr(books).alias("codes"))
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 6)
+                for i in range(DIM)
+            ]
+        ).alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    psim = F.round(_cosine(F.col("qe"), F.col("cvec")), 5)
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("label"))
+    q_rows = q.collect()
+    tables = []
+    for r in q_rows:
+        qv = [float(v) for v in r.qe]
+        tab = [
+            [sum((qv[s * d + i] - c[i]) ** 2 for i in range(d)) for c in books[s]]
+            for s in range(m)
+        ]
+        tables.append((int(r.query_id), tab))
+    qtab = spark.createDataFrame(tables, "query_id long, tab array<array<double>>")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "label", psim.alias("psim"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "label")
+        .join(qtab, "query_id")
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("tab"), lambda c, t: F.element_at(t, c + 1)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        encoded.join(F.broadcast(probes), on="label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def register_ivf_pq(query) -> None:
+    @query("ann_ivf_pq_topk")  # rows-only: iterative PQ fit (per-brief
+    # exemption); exhaustive-probe + zero-error == exact-search invariant
+    # pinned in tests/test_simsearch.py
+    def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return ivf_pq_topk(spark, sf_dir)

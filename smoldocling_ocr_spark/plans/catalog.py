@@ -64,6 +64,7 @@ GATE_ROTATION_FIRST = [
     "global_span_dedup",  # NEW in r4 (C4-style corpus-wide span dedup)
     "bpe_train_merges",  # NEW in r4 (distributed BPE tokenizer fit, rows-only)
     "ann_pq_topk",  # NEW in r4 (product-quantization ADC search, rows-only)
+    "ann_ivf_pq_topk",  # NEW in r4 (composed IVF-PQ / IVFADC, rows-only)
     "multimodal_decode_stats",  # CHANGED r4: fixture now cycles 4 formats (TIFF+WebP)
     "ann_lsh_verified_neardup",  # CHANGED r4: adaptive banding, single self-join
     "ann_lsh_buckets",  # CHANGED r4: adaptive sketch width
@@ -86,6 +87,7 @@ GATE_ROTATION_LAST = [
     "garbled_text_predicate",
     "hallucination_scan",
     "interval_containment_join",
+    "caption_proximity_join",
     "extract_pipeline_full",  # rows-only
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
@@ -1001,6 +1003,7 @@ _dedup.register_span_dedup(query)
 _bpe.register(query)
 _simsearch.register(query)
 _simsearch.register_pq(query)
+_simsearch.register_ivf_pq(query)
 _textstats.register(query)
 _multimodal.register(query)
 
