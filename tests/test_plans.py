@@ -310,6 +310,31 @@ def test_lsh_candidate_stage_single_exchange_pair(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_global_span_dedup_plan_shape(spark):
+    """Corpus-wide span dedup: candidates form via an equi join on the span
+    text (hash-valued key cardinality — grows with the corpus), both
+    aggregations are partial+final (map-side combine before the exchange),
+    and nothing plans cartesian. With broadcast disabled the join is the
+    at-scale SMJ on span."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["global_span_dedup"](spark, SF_DIR))
+    tree = plan.split("\n\n(")[0]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("Generate") == 2  # one posexplode per join side
+    n_exchange = tree.count("+- Exchange") + tree.count(":- Exchange")
+    assert n_exchange <= 4, tree  # owner agg + rebuild agg + final sort
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark_queries()["global_span_dedup"](spark, SF_DIR))
+        join_keys = [l for l in plan.splitlines() if l.startswith("Left keys")]
+        assert len(join_keys) == 1 and "span" in join_keys[0], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     """Nearest-centroid assignment is a pure projection over broadcast
     centroid literals: the per-iteration job is Scan → Project → partial agg
