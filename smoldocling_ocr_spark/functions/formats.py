@@ -105,7 +105,17 @@ def estimate_quality_score(markdown_text: str, method_used: str) -> int:
     """Additive 0-100 rubric (utils/formatters.py:23-45): base 50 + method
     bonus + headings/tables/length bonuses, capped at 100."""
     score = 50
-    method_bonus = {"cloud_llm": 30, "layout_ocr": 20, "html_dom": 15, "text_layer": 15}
+    # pdf_parse_failed is the lineage label for the text-column fallback
+    # after a failed PDF parse — the rendered body is the same text-layer
+    # content, so it keeps the text_layer bonus (the label exists for
+    # failure accounting, not to re-score the output)
+    method_bonus = {
+        "cloud_llm": 30,
+        "layout_ocr": 20,
+        "html_dom": 15,
+        "text_layer": 15,
+        "pdf_parse_failed": 15,
+    }
     score += method_bonus.get(method_used, 0)
     if "##" in markdown_text:
         score += 10

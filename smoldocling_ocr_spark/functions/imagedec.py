@@ -701,6 +701,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             np.uint8
         )
         return lut[px[:, :, 0]]
+    if spp == 2:
+        # gray + alpha (ExtraSamples=1): drop the alpha sample and keep the
+        # HxWx3 contract by repeating the gray channel — px[:, :, :3] would
+        # leak a 2-channel array downstream
+        gray = px[:, :, :1]
+        if photometric == 0:  # WhiteIsZero
+            gray = 255 - gray
+        return np.repeat(gray, 3, axis=2)
     if photometric == 0:  # WhiteIsZero
         px = 255 - px
     if spp == 1:

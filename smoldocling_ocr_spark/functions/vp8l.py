@@ -354,14 +354,20 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         return _pack(
             _clamp(la + ta - ca), _clamp(lr + tr_ - cr), _clamp(lg + tg - cg), _clamp(lb + tb - cb)
         )
-    # mode 13: ClampAddSubtractHalf
+    # mode 13: ClampAddSubtractHalf — the (a-b)/2 step is C integer
+    # division (truncates toward zero, libwebp AddSubtractComponentHalf);
+    # Python // floors, which is off by one for negative odd deltas
     av = _avg2(left, top)
     aa, ar, ag, ab = _chans(av)
+
+    def _half(d: int) -> int:
+        return -((-d) // 2) if d < 0 else d // 2
+
     return _pack(
-        _clamp(aa + (aa - ca) // 2),
-        _clamp(ar + (ar - cr) // 2),
-        _clamp(ag + (ag - cg) // 2),
-        _clamp(ab + (ab - cb) // 2),
+        _clamp(aa + _half(aa - ca)),
+        _clamp(ar + _half(ar - cr)),
+        _clamp(ag + _half(ag - cg)),
+        _clamp(ab + _half(ab - cb)),
     )
 
 

@@ -306,6 +306,58 @@ def register(query) -> None:
         )
 
 
+SPAN_DEDUP_OWNER_ENC = 1_000_000  # pos < 1e6 per doc: owner = doc_id*1e6 + pos
+
+
+def span_dedup_frame(docs: DataFrame, span: int = 3, owner_enc: int = SPAN_DEDUP_OWNER_ENC) -> DataFrame:
+    """Spark side of global_span_dedup, parameterized so tests can exercise
+    the owner-encoding overflow guard with a small ``owner_enc``. A document
+    with >= owner_enc spans would silently collide owner keys (wrong
+    keep/drop decisions), so the encoding raises instead of corrupting."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(toks) + span - 1) / span).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+    )
+    ex = docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    # owner = doc_id*owner_enc + pos, valid only while pos < owner_enc —
+    # fail loudly on oversized documents instead of colliding silently
+    enc = F.when(
+        F.col("pos") >= owner_enc,
+        F.raise_error(
+            F.concat(
+                F.lit(f"global_span_dedup: pos >= {owner_enc} overflows owner encoding in doc "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id") * owner_enc + F.col("pos"))
+    ex = ex.withColumn("owner_key", enc)
+    owner = ex.groupBy("span").agg(F.min("owner_key").alias("owner"))
+    marked = ex.join(owner, "span").withColumn("keep", F.col("owner_key") == F.col("owner"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_spans"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("removed_spans"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(kept_sorted, lambda s: s.getField("span")),
+                    )
+                ),
+                1,
+                16,
+            ).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def register_span_dedup(query) -> None:
     """C4-style global span dedup (Raffel et al. 2020 §2.2 deduplicate
     "three-sentence spans" across the corpus, re-expressed for the
@@ -320,7 +372,7 @@ def register_span_dedup(query) -> None:
     the only large shuffle and its key is the span text (hash-valued
     cardinality — grows with the corpus, never a fixed bucket count)."""
     SPAN = 3
-    OWNER_ENC = 1_000_000  # pos < 1e6 per doc: owner = doc_id*1e6 + pos
+    OWNER_ENC = SPAN_DEDUP_OWNER_ENC
 
     @query(
         "global_span_dedup",
@@ -333,13 +385,19 @@ def register_span_dedup(query) -> None:
                  array_to_string(t[(u.i * {SPAN} + 1):(u.i * {SPAN} + {SPAN})], ' ') AS span
           FROM toks, LATERAL unnest(range((len(t) + {SPAN} - 1) // {SPAN})) AS u(i)
         ),
+        keyed AS (
+          SELECT doc_id, pos, span,
+                 CASE WHEN pos >= {OWNER_ENC}
+                      THEN error('global_span_dedup: pos overflows owner encoding')
+                      ELSE doc_id * {OWNER_ENC} + pos END AS owner_key
+          FROM chunks
+        ),
         owner AS (
-          SELECT span, min(doc_id * {OWNER_ENC} + pos) AS owner FROM chunks GROUP BY span
+          SELECT span, min(owner_key) AS owner FROM keyed GROUP BY span
         ),
         marked AS (
-          SELECT c.doc_id, c.pos, c.span,
-                 (c.doc_id * {OWNER_ENC} + c.pos = o.owner) AS keep
-          FROM chunks c JOIN owner o ON c.span = o.span
+          SELECT c.doc_id, c.pos, c.span, (c.owner_key = o.owner) AS keep
+          FROM keyed c JOIN owner o ON c.span = o.span
         )
         SELECT doc_id,
                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
@@ -350,37 +408,4 @@ def register_span_dedup(query) -> None:
     )
     def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents")
-        toks = F.split(F.col("text"), " ")
-        n_chunks = F.floor((F.size(toks) + SPAN - 1) / SPAN).cast("int")
-        spans = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * SPAN + 1, SPAN)),
-        )
-        ex = docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
-        owner = ex.groupBy("span").agg(
-            F.min(F.col("doc_id") * OWNER_ENC + F.col("pos")).alias("owner")
-        )
-        marked = ex.join(owner, "span").withColumn(
-            "keep", F.col("doc_id") * OWNER_ENC + F.col("pos") == F.col("owner")
-        )
-        kept_sorted = F.array_sort(
-            F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
-        )
-        return (
-            marked.groupBy("doc_id")
-            .agg(
-                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_spans"),
-                F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("removed_spans"),
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.transform(kept_sorted, lambda s: s.getField("span")),
-                        )
-                    ),
-                    1,
-                    16,
-                ).alias("cleaned_fp"),
-            )
-            .orderBy("doc_id")
-        )
+        return span_dedup_frame(docs, span=SPAN, owner_enc=OWNER_ENC)

@@ -660,3 +660,21 @@ def test_streaming_restart_exactly_once(spark, cc_docs, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10, "restart must process only the new files"
     assert got.select("url").distinct().count() == 10
+
+
+def test_span_dedup_owner_encoding_overflow_raises(spark):
+    """A document with pos >= owner_enc would silently collide owner keys
+    (doc_id*enc+pos) and corrupt keep/drop decisions — the encoding must
+    fail loudly instead (ADVICE r5)."""
+    from smoldocling_ocr_spark.operators.dedup import span_dedup_frame
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o")], ["doc_id", "text"]
+    )
+    # 15 words -> 5 spans at span=3; owner_enc=4 overflows at pos 4
+    with pytest.raises(Exception) as ei:
+        span_dedup_frame(docs, span=3, owner_enc=4).collect()
+    assert "overflows owner encoding" in str(ei.value)
+    # within bounds the same corpus dedups fine
+    ok = span_dedup_frame(docs, span=3, owner_enc=8).collect()
+    assert ok[0]["kept_spans"] == 5 and ok[0]["removed_spans"] == 0

@@ -142,6 +142,14 @@ def test_pdf_fallbacks():
         res["markdown"]
     ).replace("pdf_parse_failed", "")
 
+    # the routing label must not re-score the output: a failed-parse PDF
+    # keeps the text_layer method bonus (the label exists for lineage only)
+    from smoldocling_ocr_spark.functions.formats import estimate_quality_score
+
+    assert estimate_quality_score("short body", "pdf_parse_failed") == estimate_quality_score(
+        "short body", "text_layer"
+    )
+
 
 def test_pdf_info_metadata_to_frontmatter():
     """Document-information dict (trailer /Info) reaches the YAML

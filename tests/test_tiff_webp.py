@@ -690,3 +690,51 @@ def test_png_invalid_combo_raises():
     bad[24] = 4  # depth 4 is illegal for RGB color type
     with pytest.raises(NotImplementedError):
         _png_decode(bytes(bad))
+
+
+# --- ADVICE r5: TIFF gray+alpha, VP8L predictor semantics -------------------
+
+
+def test_tiff_gray_alpha_spp2():
+    """spp==2 (gray + alpha ExtraSamples) must honor the HxWx3 contract:
+    alpha dropped, gray repeated — not a leaked 2-channel array."""
+    g = RNG.integers(0, 256, (5, 4), dtype=np.uint8)
+    a = RNG.integers(0, 256, (5, 4), dtype=np.uint8)
+    ga = np.stack([g, a], axis=2)
+    got = decode_tiff(make_tiff(ga, photometric=1))
+    assert got.shape == (5, 4, 3)
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    inv = decode_tiff(make_tiff(ga, photometric=0))
+    assert np.array_equal(inv, np.repeat((255 - g)[:, :, None], 3, axis=2))
+
+
+def test_vp8l_predict_clamp_half_truncates_toward_zero():
+    """Mode 13 ClampAddSubtractHalf: (a-b)/2 is C division (truncate toward
+    zero, libwebp AddSubtractComponentHalf) — Python floor division is off
+    by one on negative odd deltas."""
+    from smoldocling_ocr_spark.functions.vp8l import _pack, _predict
+
+    left = _pack(10, 10, 10, 10)
+    top = _pack(12, 12, 12, 12)  # avg2 = 11 per channel
+    # delta -3: C gives 11 + (-1) = 10; floor division would give 9
+    assert _predict(13, left, top, _pack(14, 14, 14, 14), 0) == _pack(10, 10, 10, 10)
+    # positive odd delta +3 -> 12 (both semantics agree)
+    assert _predict(13, left, top, _pack(8, 8, 8, 8), 0) == _pack(12, 12, 12, 12)
+    # even negative delta -4 -> 11 - 2 = 9
+    assert _predict(13, left, top, _pack(15, 15, 15, 15), 0) == _pack(9, 9, 9, 9)
+    # clamp rails: 0 + trunc(-255/2) clamps to 0; 255 + 127 clamps to 255
+    z, f = _pack(0, 0, 0, 0), _pack(255, 255, 255, 255)
+    assert _predict(13, z, z, f, 0) == z
+    assert _predict(13, f, f, z, 0) == f
+
+
+def test_vp8l_predict_modes_11_12_vectors():
+    from smoldocling_ocr_spark.functions.vp8l import _pack, _predict
+
+    # mode 11 Select (libwebp): return top when sum|left-tl| <= sum|top-tl|
+    left, top = _pack(255, 10, 10, 10), _pack(255, 14, 14, 14)
+    assert _predict(11, left, top, left, 0) == top  # tl == left -> top wins
+    assert _predict(11, left, top, top, 0) == left  # tl == top -> left wins
+    # mode 12 ClampAddSubtractFull: per-channel clamp of L + T - TL
+    assert _predict(12, _pack(5, 5, 5, 5), _pack(10, 10, 10, 10), _pack(20, 20, 20, 20), 0) == _pack(0, 0, 0, 0)
+    assert _predict(12, _pack(200, 200, 200, 200), _pack(100, 100, 100, 100), _pack(10, 10, 10, 10), 0) == _pack(255, 255, 255, 255)
