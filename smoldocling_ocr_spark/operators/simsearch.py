@@ -896,12 +896,137 @@ def pq_topk(
     )
 
 
+PQ_QUANT = 64  # fixed-books twin: floor(x*64) int quantization, exact cross-engine
+
+
+def _fixed_books_int(m: int = PQ_M, k: int = PQ_K, d: int = DIM // PQ_M) -> list[list[list[int]]]:
+    """Deterministic INTEGER codebook from a pure-integer law — the same law
+    is embedded in the DuckDB oracle, so encode/ADC arithmetic is exact in
+    both engines (no float summation-order hazard)."""
+    return [
+        [[((s * 31 + c * 17 + i * 7) % 129) - 64 for i in range(d)] for c in range(k)]
+        for s in range(m)
+    ]
+
+
+def pq_topk_fixed_books(
+    spark: SparkSession,
+    sf_dir: str,
+    topk: int = TOPK,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """ADC search with an injected deterministic codebook over integer-
+    quantized vectors — the query-time half of PQ (encode + table lookup +
+    top-k), oracle-backed; the Lloyd fit stays in the rows-only twin.
+    Same plan shape as pq_topk: shuffle-free encode projection × broadcast
+    per-query ADC tables → per-query top-k window. All distances are exact
+    BIGINT sums, so ranks are engine-independent without rounding."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = DIM // m
+    books = _fixed_books_int(m, k, d)
+    qe = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * PQ_QUANT).cast("long")
+    )
+    quant = emb.select("vec_id", qe.alias("qe"))
+    matrix = F.lit(books)
+
+    def code_for(s: int):
+        sub = F.slice("qe", s * d + 1, d)
+        dists = F.transform(
+            F.element_at(matrix, s + 1),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    encoded = quant.select("vec_id", F.array(*[code_for(s) for s in range(m)]).alias("codes"))
+    q_rows = quant.filter(F.col("vec_id") < n_queries).collect()
+    tables = []
+    for r in q_rows:
+        qv = [int(v) for v in r.qe]
+        tab = [
+            [sum((qv[s * d + i] - books[s][c][i]) ** 2 for i in range(d)) for c in range(k)]
+            for s in range(m)
+        ]
+        tables.append((int(r.vec_id), tab))
+    qdf = spark.createDataFrame(tables, "query_id long, tab array<array<long>>")
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("tab"), lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def register_pq(query) -> None:
     @query("ann_pq_topk")  # rows-only: iterative per-subspace Lloyd fit
     # (per-brief exemption); zero-quantization-error equivalence to exact
     # L2 search and recall measurement pinned in tests/test_simsearch.py
     def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pq_topk(spark, sf_dir)
+
+    _d = DIM // PQ_M
+
+    @query(
+        "ann_pq_topk_fixed_books",
+        sql=f"""
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_QUANT}) AS BIGINT)) AS qe
+          FROM embeddings
+        ),
+        books AS (
+          SELECT CAST(s.s AS INT) AS s, CAST(c.c AS INT) AS c, CAST(i.i AS INT) AS i,
+                 CAST(((s.s*31 + c.c*17 + i.i*7) % 129) - 64 AS BIGINT) AS val
+          FROM (SELECT unnest(range({PQ_M})) AS s) s,
+               (SELECT unnest(range({PQ_K})) AS c) c,
+               (SELECT unnest(range({_d})) AS i) i
+        ),
+        sub AS (
+          SELECT v.vec_id, b.s, b.c,
+                 CAST(sum((v.qe[b.s*{_d} + b.i + 1] - b.val)
+                        * (v.qe[b.s*{_d} + b.i + 1] - b.val)) AS BIGINT) AS dist
+          FROM qv v, books b
+          GROUP BY v.vec_id, b.s, b.c
+        ),
+        codes AS (
+          -- min over dist*K+c: tie on dist -> lowest c (= Spark's first argmin)
+          SELECT vec_id, s, CAST(min(dist * {PQ_K} + c) % {PQ_K} AS INT) AS code
+          FROM sub GROUP BY vec_id, s
+        ),
+        qtab AS (
+          SELECT vec_id AS query_id, s, c, dist AS qdist FROM sub WHERE vec_id < {N_QUERIES}
+        ),
+        cand AS (
+          SELECT qt.query_id, cd.vec_id AS neighbor_id, CAST(sum(qt.qdist) AS BIGINT) AS adist
+          FROM codes cd JOIN qtab qt ON qt.s = cd.s AND qt.c = cd.code
+          WHERE cd.vec_id <> qt.query_id
+          GROUP BY qt.query_id, cd.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+          FROM cand
+        ) WHERE rank <= {TOPK} ORDER BY query_id, rank
+        """,
+    )
+    def ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return pq_topk_fixed_books(spark, sf_dir)
 
 
 def ivf_pq_topk(

@@ -44,37 +44,9 @@ def query(name: str, sql: str | None = None):
 # driver's exact pandas-fetch normalization at sf0.001. Rotation history is
 # documented in COVERAGE.md.
 GATE_ROTATION_FIRST = [
-    # r4 priority: (a) the 11 entries displaced in r3 rotate back in (every
-    # oracle-backed entry gets a driver row in a trailing 2-round window —
-    # VERDICT r3 task 3), (b) queries that are NEW or whose implementation
-    # CHANGED this round and need (re)certification
-    "word_char_counts",
-    "median_confidence",
-    "unicode_dash_normalize",
-    "hyphen_merge_strict",
-    "pdf_date_parse_relational",
-    "document_id_sha256",
-    "token_counting",
-    "doc_fingerprint",
-    "payload_size_tiers",
-    "confidence_statistics",
-    "quality_tiers",
-    "langid_histogram_relational",  # NEW in r4 (relational langid twin)
-    "pii_scan_redact",  # NEW in r4 (PII counts + typed redaction, fixture-law)
-    "global_span_dedup",  # NEW in r4 (C4-style corpus-wide span dedup)
-    "bpe_train_merges",  # NEW in r4 (distributed BPE tokenizer fit, rows-only)
-    "ann_pq_topk",  # NEW in r4 (product-quantization ADC search, rows-only)
-    "ann_ivf_pq_topk",  # NEW in r4 (composed IVF-PQ / IVFADC, rows-only)
-    "multimodal_decode_stats",  # CHANGED r4: fixture now cycles 4 formats (TIFF+WebP)
-    "ann_lsh_verified_neardup",  # CHANGED r4: adaptive banding, single self-join
-    "ann_lsh_buckets",  # CHANGED r4: adaptive sketch width
-    "ann_lsh_candidate_pairs",  # CHANGED r4: adaptive sketch width
-]
-GATE_ROTATION_LAST = [
-    # hash-certified in r3 (and earlier where applicable), implementation
-    # unchanged this round — rotated past the cap; every oracle-backed one
-    # is still strict-checked each pytest run by
-    # tests/test_driver_gate_overflow.py with the driver's own comparison
+    # r5 priority: (a) the 17 entries that had no driver row in r4 rotate
+    # back in, so CORRECTNESS_r05 ∪ r04 covers the full catalog (VERDICT r4
+    # task 4), (b) queries NEW or CHANGED this round
     "dedup_exact",
     "gopher_quality_filters",
     "gopher_repetition_filters",
@@ -92,6 +64,35 @@ GATE_ROTATION_LAST = [
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
     "extract_language_detection",  # rows-only
+    "ann_pq_topk_fixed_books",  # NEW in r5 (oracle-backed ADC search, integer-exact)
+    "global_span_dedup",  # CHANGED r5: owner-encoding overflow guard in both engines
+]
+GATE_ROTATION_LAST = [
+    # hash-certified (or rows-only by design) in r4, implementation
+    # unchanged this round — rotated past the cap; every oracle-backed one
+    # is still strict-checked each pytest run by
+    # tests/test_driver_gate_overflow.py with the driver's own comparison
+    # word_char_counts / median_confidence stay unpinned: the 50-slot window
+    # reaches them anyway (68 entries - 19 FIRST - 18 LAST = 31 middle), so
+    # they get a free r5 re-certification instead of a displaced slot
+    "unicode_dash_normalize",
+    "hyphen_merge_strict",
+    "pdf_date_parse_relational",
+    "document_id_sha256",
+    "token_counting",
+    "doc_fingerprint",
+    "payload_size_tiers",
+    "confidence_statistics",
+    "quality_tiers",
+    "langid_histogram_relational",
+    "pii_scan_redact",
+    "bpe_train_merges",  # rows-only (iterative Sennrich fit)
+    "ann_pq_topk",  # rows-only (iterative Lloyd fit)
+    "ann_ivf_pq_topk",  # rows-only (iterative PQ fit)
+    "multimodal_decode_stats",
+    "ann_lsh_verified_neardup",
+    "ann_lsh_buckets",
+    "ann_lsh_candidate_pairs",
 ]
 
 
