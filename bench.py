@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "token_counting",
     "pii_scan_redact",
     "global_span_dedup",
+    "bpe_word_frequencies",
     "text_quality_scoring",
     "doc_fingerprint",
     "payload_size_tiers",
@@ -134,19 +135,24 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
     from smoldocling_ocr_spark.operators.pipeline import extract_documents
     from smoldocling_ocr_spark.session import get_spark
 
-    def wait_for_quiet(threshold: float = 2.0, max_wait: float = 150.0) -> float:
-        """Wait (bounded) for the 1-min loadavg to drop below threshold
-        before starting a round — outside tenants on this host have been
-        measured suppressing BOTH widths ~40%. This gates when a
+    def wait_for_quiet() -> float:
+        """Tiered bounded wait for host quiescence before starting a round —
+        outside tenants on this host have been measured suppressing BOTH
+        widths ~40%, and r4's driver run started two rounds at loadavg
+        1.85–1.92 (just under the old 2.0 gate) that normalized to
+        0.75/0.68. Prefer a genuinely quiet start (<1.0, up to 3 min), then
+        accept <2.0 (2 more min), then start regardless. This gates when a
         measurement STARTS, never which result is kept; the load at round
         start is published so an un-quiet round is visible."""
         waited = 0.0
-        while waited < max_wait:
-            load = os.getloadavg()[0]
-            if load < threshold:
-                return load
-            time.sleep(10.0)
-            waited += 10.0
+        for threshold, tier_budget in ((1.0, 180.0), (2.0, 120.0)):
+            tier_end = waited + tier_budget
+            while waited < tier_end:
+                load = os.getloadavg()[0]
+                if load < threshold:
+                    return load
+                time.sleep(10.0)
+                waited += 10.0
         return os.getloadavg()[0]
 
     measured: list[dict] = []
@@ -181,9 +187,26 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
                 "normalized": min(eff / ceiling, 1.0),
             }
         )
-    # plain median round (lower middle for even counts — conservative)
+    # Per-round interference flag (self-diagnosing pollution): outside
+    # tenant load suppresses BOTH widths together, while a genuine scaling
+    # change moves the ratio, not both absolute rates. Flag any round whose
+    # 8-core AND 32-core rates are both <85% of that width's best round.
+    best8 = max(r["rates"][8][0] for r in measured)
+    best32 = max(r["rates"][32][0] for r in measured)
+    for r in measured:
+        r["interference"] = (
+            r["rates"][8][0] < 0.85 * best8 and r["rates"][32][0] < 0.85 * best32
+        )
+
+    # plain median round (lower middle for even counts — conservative):
+    # THE published statistic per BASELINE.md's criterion
     k = (len(measured) - 1) // 2
     med = sorted(measured, key=lambda r: r["normalized"])[k]
+    # secondary diagnostic: the same median over non-flagged rounds only
+    # (published alongside, never substituted for the criterion statistic)
+    clean = [r for r in measured if not r["interference"]] or measured
+    kc = (len(clean) - 1) // 2
+    med_clean = sorted(clean, key=lambda r: r["normalized"])[kc]
     return {
         **{
             f"local[{cores}]": {"docs_per_sec": round(rate, 2), "sec": round(sec, 3)}
@@ -195,8 +218,11 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
         "round_ceilings": [round(r["ceiling"], 4) for r in measured],
         "round_rates_8": [round(r["rates"][8][0], 1) for r in measured],
         "round_rates_32": [round(r["rates"][32][0], 1) for r in measured],
+        "round_interference": [r["interference"] for r in measured],
         "median_statistic": "plain median round by normalized efficiency",
         "efficiency_n_to_4n": round(med["eff"], 4),
+        "clean_rounds": len(clean),
+        "normalized_efficiency_clean": round(med_clean["normalized"], 4),
         # what THIS HOST allows when the same per-doc workload runs under
         # bare multiprocessing (frequency scaling + memory-bandwidth
         # contention at 32 busy cores, zero framework overhead); a real
@@ -329,18 +355,20 @@ def main() -> None:
     spark.stop()
 
     # N->4N scaling evidence runs by DEFAULT (the north-rule criterion must
-    # land in every BENCH_rN.json): 5 paired rounds — an odd count so the
+    # land in every BENCH_rN.json): 7 paired rounds — an odd count so the
     # published number is the true plain-median round, and enough rounds
-    # that the median survives up to two externally-loaded rounds (observed:
-    # a run where 2 of 3 rounds saw ~70% host interference at the wide
-    # config; all per-round vectors are published so such episodes are
-    # visible). Skipped only with BENCH_SCALING=0. The workload must be
-    # large enough that per-job fixed overhead (scheduling, scan task
-    # launch) is negligible at the FAST config — target >= 15s at 4N cores.
+    # that the median survives up to THREE externally-loaded rounds (r4's
+    # driver run passed at 0.826 with two of five rounds polluted at
+    # start-loads 1.85–1.92; all per-round vectors plus a both-widths-
+    # suppressed interference flag are published so such episodes are
+    # self-diagnosing). Skipped only with BENCH_SCALING=0. The workload
+    # must be large enough that per-job fixed overhead (scheduling, scan
+    # task launch) is negligible at the FAST config — target >= 15s at 4N
+    # cores.
     if os.environ.get("BENCH_SCALING") != "0":
         scale_docs = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
         scale_path = corpus_parquet_path(SF_DIR, n_docs=scale_docs)
-        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+        rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "7"))
         try:
             result["skew"] = _skew_split_evidence(scale_path)
         except Exception as exc:  # never lose the headline JSON line

@@ -93,6 +93,27 @@ def apply_merges(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
 
 
 def register(query) -> None:
+    @query(
+        "bpe_word_frequencies",
+        sql="""
+        SELECT word, freq FROM (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+          WHERE word <> ''
+          GROUP BY word
+          ORDER BY freq DESC, word
+          LIMIT 65536
+        ) ORDER BY freq DESC, word
+        """,
+    )
+    def bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The corpus-sized stage of BPE training on its own (VERDICT r4
+        task 8): explode → groupBy(word) with map-side combine → bounded
+        top-V. This is the 10¹²-doc-shaped part; the driver-side merge loop
+        in bpe_train_merges consumes exactly this relation."""
+        docs = read_table(spark, sf_dir, "documents")
+        return word_frequencies(docs, max_vocab=65536).orderBy(F.desc("freq"), F.asc("word"))
+
     @query("bpe_train_merges")  # rows-only: iterative merge loop (per-brief
     # exemption for iterative algorithms); the distributed stage
     # (word_frequencies) is the same aggregation token_counting certifies,

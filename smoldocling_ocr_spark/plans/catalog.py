@@ -65,6 +65,7 @@ GATE_ROTATION_FIRST = [
     "extract_method_routing",  # rows-only
     "extract_language_detection",  # rows-only
     "ann_pq_topk_fixed_books",  # NEW in r5 (oracle-backed ADC search, integer-exact)
+    "bpe_word_frequencies",  # NEW in r5 (the corpus-sized BPE stage, oracle-backed)
     "global_span_dedup",  # CHANGED r5: owner-encoding overflow guard in both engines
 ]
 GATE_ROTATION_LAST = [
@@ -93,6 +94,7 @@ GATE_ROTATION_LAST = [
     "ann_lsh_verified_neardup",
     "ann_lsh_buckets",
     "ann_lsh_candidate_pairs",
+    "defragment_line_merge",  # displaced by the two r5 additions (certified r4)
 ]
 
 
