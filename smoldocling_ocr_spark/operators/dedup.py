@@ -307,13 +307,36 @@ def register(query) -> None:
 
 
 SPAN_DEDUP_OWNER_ENC = 1_000_000  # pos < 1e6 per doc: owner = doc_id*1e6 + pos
+SPAN_DEDUP_HOT_K = 65536  # bounded hot-span broadcast list (the Zipf head)
+SPAN_DEDUP_HOT_MIN = 8  # spans below this corpus count carry no skew risk
 
 
-def span_dedup_frame(docs: DataFrame, span: int = 3, owner_enc: int = SPAN_DEDUP_OWNER_ENC) -> DataFrame:
+def span_dedup_frame(
+    docs: DataFrame,
+    span: int = 3,
+    owner_enc: int = SPAN_DEDUP_OWNER_ENC,
+    hot_k: int = SPAN_DEDUP_HOT_K,
+    hot_min: int = SPAN_DEDUP_HOT_MIN,
+) -> DataFrame:
     """Spark side of global_span_dedup, parameterized so tests can exercise
-    the owner-encoding overflow guard with a small ``owner_enc``. A document
-    with >= owner_enc spans would silently collide owner keys (wrong
-    keep/drop decisions), so the encoding raises instead of corrupting."""
+    the owner-encoding overflow guard and the hot-span split directly.
+
+    Skew (r5): real text has Zipf-headed spans ("of the and" style), and the
+    owner join-back keys on span — but AQE's OptimizeSkewedJoin structurally
+    CANNOT split this join: the owner side's final aggregate sits between
+    the shuffle stage and the join, and the rule only matches
+    SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) with ENSURE_REQUIREMENTS
+    origin (verified empirically — a 70%-hot corpus plans zero skew splits).
+    So skew is handled explicitly with the classic hot-key broadcast split:
+    the owner aggregation already produces per-span counts, the top
+    ``hot_k`` spans by count (a bounded TakeOrdered — constant-size
+    broadcast at any corpus scale) with count >= ``hot_min`` become a
+    broadcast map-side join, and only the uniform cold tail — every
+    remaining span has < the 65537th-hottest span's count — takes the
+    shuffled span join. Hot rows never shuffle on span at all.
+
+    A document with >= owner_enc spans would silently collide owner keys
+    (wrong keep/drop decisions), so the encoding raises instead."""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.floor((F.size(toks) + span - 1) / span).cast("int")
     spans = F.transform(
@@ -333,8 +356,29 @@ def span_dedup_frame(docs: DataFrame, span: int = 3, owner_enc: int = SPAN_DEDUP
         ).cast("long"),
     ).otherwise(F.col("doc_id") * owner_enc + F.col("pos"))
     ex = ex.withColumn("owner_key", enc)
-    owner = ex.groupBy("span").agg(F.min("owner_key").alias("owner"))
-    marked = ex.join(owner, "span").withColumn("keep", F.col("owner_key") == F.col("owner"))
+    owner = ex.groupBy("span").agg(
+        F.min("owner_key").alias("owner"), F.count("*").alias("cnt")
+    )
+    hot = (
+        owner.filter(F.col("cnt") >= hot_min)  # prune BEFORE the top-K: the
+        # candidate set is tiny on any corpus, so TakeOrdered heaps over a
+        # few thousand rows instead of every distinct span
+        .orderBy(F.desc("cnt"), F.asc("span"))
+        .limit(hot_k)
+        .select("span", F.col("owner").alias("hot_owner"))
+    )
+    exb = ex.join(F.broadcast(hot), "span", "left")
+    keep_col = lambda owner_col: (F.col("owner_key") == F.col(owner_col)).alias("keep")
+    hot_rows = exb.filter(F.col("hot_owner").isNotNull()).select(
+        "doc_id", "pos", "span", keep_col("hot_owner")
+    )
+    cold_rows = (
+        exb.filter(F.col("hot_owner").isNull())
+        .drop("hot_owner")
+        .join(owner.select("span", "owner"), "span")
+        .select("doc_id", "pos", "span", keep_col("owner"))
+    )
+    marked = hot_rows.unionByName(cold_rows)
     kept_sorted = F.array_sort(
         F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
     )
