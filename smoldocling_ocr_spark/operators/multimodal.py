@@ -87,15 +87,19 @@ def sniff_media(payload: bytes) -> tuple[str, int | None, int | None]:
             # 14-bit width-1 / height-1, LSB-first from byte 21
             bits = int.from_bytes(payload[21:25], "little")
             return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
-        if chunk == b"VP8 ":  # lossy: dims live in the frame header
+        if chunk == b"VP8 ":  # lossy: dims live in the frame header —
+            # classified DISTINCTLY (webp_lossy) because decode routes it to
+            # the declared ship-PIL boundary, not the in-repo VP8L decoder
             if payload[23:26] == b"\x9d\x01\x2a":
                 w, h = _struct.unpack_from("<HH", payload, 26)
-                return "webp", (w & 0x3FFF), (h & 0x3FFF)
-            return "webp", None, None
+                return "webp_lossy", (w & 0x3FFF), (h & 0x3FFF)
+            return "webp_lossy", None, None
         if chunk == b"VP8X" and len(payload) >= 30:
             w = int.from_bytes(payload[24:27], "little") + 1
             h = int.from_bytes(payload[27:30], "little") + 1
-            return "webp", w, h
+            # extended container: animation flag bit 1 of the feature byte
+            kind = "webp_anim" if payload[20] & 0x02 else "webp_extended"
+            return kind, w, h
         return "webp", None, None
     return "unknown", None, None
 
@@ -372,7 +376,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         from ..functions.imagedec import decode_tiff
 
         return decode_tiff(payload)
-    if fmt == "webp":
+    if fmt in ("webp", "webp_lossy", "webp_extended", "webp_anim"):
+        # decode_webp walks the RIFF chunks: VP8L decodes for real; lossy
+        # VP8 / animation raise their specific declared-boundary message
         from ..functions.vp8l import decode_webp
 
         return decode_webp(payload)

@@ -569,10 +569,24 @@ def test_webp_container_boundaries():
     enc = encode_webp_lossless(px)
     assert sniff_media(enc) == ("webp", 9, 6)
     assert np.array_equal(decode_image(enc), px)
-    # lossy VP8 container: declared boundary
-    lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8 " + struct.pack("<I", 8) + b"\x00" * 8
-    with pytest.raises(NotImplementedError):
+    # lossy VP8 container: classified distinctly AND a declared boundary
+    # (ship-PIL per COVERAGE.md) — never garbage pixels
+    lossy = b"RIFF" + struct.pack("<I", 24) + b"WEBP" + b"VP8 " + struct.pack("<I", 12) + b"\x00" * 12
+    assert sniff_media(lossy)[0] == "webp_lossy"
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
         decode_image(lossy)
+    # lossy with a valid frame-header sync code: dims are still sniffed
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    lossy2 = b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8 " + struct.pack("<I", len(body)) + body
+    assert sniff_media(lossy2) == ("webp_lossy", 640, 480)
+    # VP8X extended container: animation flag -> webp_anim, else webp_extended
+    def vp8x(flags):
+        hdr = bytes([flags]) + b"\x00\x00\x00" + (8).to_bytes(3, "little") + (5).to_bytes(3, "little")
+        return b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X" + struct.pack("<I", 10) + hdr
+    assert sniff_media(vp8x(0x02)) == ("webp_anim", 9, 6)
+    assert sniff_media(vp8x(0x00)) == ("webp_extended", 9, 6)
+    with pytest.raises(NotImplementedError):
+        decode_image(vp8x(0x02) + b"ANIM" + struct.pack("<I", 0))
 
 
 def test_tiff_decode_image_routing():
