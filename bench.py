@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "pii_scan_redact",
     "global_span_dedup",
     "bpe_word_frequencies",
+    "dedup_connected_components",
+    "decontamination_scan",
+    "stratified_sample_by_lang",
     "text_quality_scoring",
     "doc_fingerprint",
     "payload_size_tiers",

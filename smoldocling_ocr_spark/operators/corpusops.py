@@ -1,0 +1,287 @@
+"""Corpus-graph and corpus-curation operators (training-data pipeline ops
+beyond pairwise dedup; no reference counterpart — the reference processes
+documents independently, these are the corpus-level stages a 10¹²-doc
+training-data rebuild needs around it).
+
+* ``dedup_connected_components`` — duplicate CLUSTERS from the MinHash-LSH
+  bucket graph. Pair lists (what every dedup family emits) are not what a
+  pipeline acts on; it needs components and one survivor per component.
+  Implemented as alternating min-label propagation over the bipartite
+  doc↔bucket graph (the bucket-star form of Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC 2014): per-bucket min is one
+  map-side-combined aggregation, labels flow doc → bucket → doc, so the
+  pair graph is NEVER materialized (Σ bucket sizes rows per round, not
+  Σ bucket² pair rows). The fixpoint (per-component min doc_id) is unique,
+  so the iterative Spark job is still exactly oracle-checkable: the DuckDB
+  twin computes the same components with a recursive CTE.
+
+* ``decontamination_scan`` — benchmark n-gram overlap scan (the GPT-3
+  appendix-C / PaLM style train-test decontamination): flag every corpus
+  document sharing any word 5-gram with a held-out benchmark set. The
+  benchmark index is small by nature, so it rides as one BROADCAST
+  relation and the scan is a map-side join — the only shuffle is the
+  per-doc hit count.
+
+* ``stratified_sample_by_lang`` — deterministic per-language downsampling
+  (temperature-style language rebalancing): keep probability is compared
+  against the document's md5-derived uniform, expressed as an 8-hex-digit
+  threshold STRING so both engines decide membership with a pure string
+  compare (no float arithmetic anywhere). A pure narrow projection+filter:
+  zero shuffles at any corpus size, deterministic across reruns/resumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.documents import read_table
+from .dedup import BAND_SIZE, MINHASH_SEEDS, _SHINGLES_SQL
+
+CC_MAX_ITERS = 20
+
+# deterministic benchmark membership: every 50th doc (offset 7) is "the
+# held-out benchmark" — fixture-law style, identical in both engines
+BENCH_MOD = 50
+BENCH_REM = 7
+DECON_NGRAM = 5
+
+# per-language keep rates as EXACT 8-hex-digit thresholds on the first 8
+# md5 nibbles (rate = threshold / 2^32): en downsampled hardest (it
+# dominates the synthetic corpus), zh kept in full
+SAMPLE_THRESHOLDS = {
+    "en": "40000000",  # 0.25
+    "de": "c0000000",  # 0.75
+    "fr": "c0000000",  # 0.75
+    "es": "c0000000",  # 0.75
+    "zh": "ffffffff",  # ~1.0
+}
+SAMPLE_DEFAULT_THRESHOLD = "80000000"  # 0.5 for unlisted languages
+
+
+def _lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the same banded-minhash law as
+    dedup_minhash_lsh (operators/dedup.py): k min-aggregates over
+    unexploded shingles, md5 band buckets."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = 3
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
+        for s in range(MINHASH_SEEDS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"minh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(MINHASH_SEEDS // BAND_SIZE)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+
+
+def connected_components(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(doc_id, component, csize) for every document: component = min doc_id
+    reachable through shared LSH buckets, csize = component population.
+
+    Each round is two key-hashed aggregations (doc→bucket min, bucket→doc
+    min) with map-side combine; convergence when no label changes. Rounds
+    needed = component diameter in the doc↔bucket graph (near-dup
+    components are shallow); a loud failure after ``max_iters`` rather
+    than a silent partial answer."""
+    bands = _lsh_bands(docs)
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iters):
+        bucket_min = (
+            bands.join(labels, "doc_id")
+            .groupBy("band", "bucket")
+            .agg(F.min("label").alias("blabel"))
+        )
+        pulled = (
+            bands.join(bucket_min, ["band", "bucket"])
+            .groupBy("doc_id")
+            .agg(F.min("blabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(pulled, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("csize"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("component"), "csize")
+        .orderBy("doc_id")
+    )
+
+
+def register(query) -> None:
+    seed_sql = ",".join(str(s) for s in range(MINHASH_SEEDS))
+
+    @query(
+        "dedup_connected_components",
+        sql=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        sig AS (
+          SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+          FROM sh, LATERAL unnest([{seed_sql}]) AS s(seed)
+          GROUP BY doc_id, seed
+        ),
+        bands AS (
+          SELECT doc_id, seed // {BAND_SIZE} AS band,
+                 md5(string_agg(minh, ',' ORDER BY seed)) AS bucket
+          FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+        ),
+        stars AS (
+          SELECT band, bucket, min(doc_id) AS root FROM bands GROUP BY band, bucket
+        ),
+        edges AS (
+          SELECT DISTINCT b.doc_id AS src, s.root AS dst
+          FROM bands b JOIN stars s ON b.band = s.band AND b.bucket = s.bucket
+          WHERE b.doc_id <> s.root
+        ),
+        undirected AS (
+          SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach(doc_id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT u.dst, r.lbl FROM reach r JOIN undirected u ON u.src = r.doc_id
+        ),
+        comp AS (
+          SELECT doc_id, CAST(min(lbl) AS BIGINT) AS component
+          FROM reach GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.component, CAST(s.csize AS BIGINT) AS csize
+        FROM comp c
+        JOIN (SELECT component, count(*) AS csize FROM comp GROUP BY component) s
+          ON c.component = s.component
+        ORDER BY c.doc_id
+        """,
+    )
+    def cc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return connected_components(docs)
+
+    @query(
+        "decontamination_scan",
+        sql=f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i+1:i+{DECON_NGRAM}], ' ') AS gram
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+               LATERAL unnest(range(greatest(len(toks) - {DECON_NGRAM - 1}, 0))) AS t(i)
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = {BENCH_REM}
+        ),
+        hits AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+          FROM grams g JOIN bench b ON g.gram = b.gram
+          WHERE g.doc_id % {BENCH_MOD} <> {BENCH_REM}
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.matched_ngrams, 0) AS BIGINT) AS matched_ngrams,
+               (coalesce(h.matched_ngrams, 0) > 0) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {BENCH_MOD} <> {BENCH_REM}
+        ORDER BY d.doc_id
+        """,
+    )
+    def decon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark n-gram decontamination: the benchmark's distinct
+        5-grams are a bounded relation (benchmarks are small by nature) →
+        explicit broadcast → map-side inner join against per-doc grams;
+        the only shuffle is the per-doc hit count."""
+        docs = read_table(spark, sf_dir, "documents")
+        toks = F.split(F.lower(F.col("text")), " ")
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - DECON_NGRAM, F.lit(-1))
+        )
+        # per-doc dedup via array_distinct BEFORE the explode: the oracle's
+        # SELECT DISTINCT (doc_id, gram) semantics with ZERO shuffle — a
+        # global .distinct() here would shuffle the corpus-sized gram
+        # relation for nothing
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, DECON_NGRAM))
+                    )
+                )
+            ).alias("gram"),
+        )
+        is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
+        bench = grams.filter(is_bench).select("gram").distinct()
+        hits = (
+            grams.filter(~is_bench)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("matched_ngrams"))
+        )
+        return (
+            docs.filter(~is_bench)
+            .select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("matched_ngrams", F.lit(0)).alias("matched_ngrams"),
+                (F.coalesce("matched_ngrams", F.lit(0)) > 0).alias("contaminated"),
+            )
+            .orderBy("doc_id")
+        )
+
+    lang_cases_sql = " ".join(
+        f"WHEN '{lang}' THEN '{thr}'" for lang, thr in SAMPLE_THRESHOLDS.items()
+    )
+
+    @query(
+        "stratified_sample_by_lang",
+        sql=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('smpl:' || doc_id), 1, 8) <
+              (CASE lang {lang_cases_sql} ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END)
+        ORDER BY doc_id
+        """,
+    )
+    def sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic language-stratified downsampling: membership is a
+        string compare between the doc's md5-uniform (first 8 hex nibbles)
+        and the language's exact hex threshold — reproducible across
+        reruns, engines, and resume boundaries, zero shuffles."""
+        docs = read_table(spark, sf_dir, "documents")
+        u = F.substring(F.md5(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))), 1, 8)
+        thr = F.col("lang")
+        expr = F.lit(SAMPLE_DEFAULT_THRESHOLD)
+        for lang, t in reversed(list(SAMPLE_THRESHOLDS.items())):
+            expr = F.when(thr == lang, F.lit(t)).otherwise(expr)
+        return docs.filter(u < expr).select("doc_id", "lang").orderBy("doc_id")

@@ -66,7 +66,10 @@ GATE_ROTATION_FIRST = [
     "extract_language_detection",  # rows-only
     "ann_pq_topk_fixed_books",  # NEW in r5 (oracle-backed ADC search, integer-exact)
     "bpe_word_frequencies",  # NEW in r5 (the corpus-sized BPE stage, oracle-backed)
-    "global_span_dedup",  # CHANGED r5: owner-encoding overflow guard in both engines
+    "global_span_dedup",  # CHANGED r5: hot-span broadcast split + overflow guard
+    "dedup_connected_components",  # NEW in r5 (LSH-bucket CC, recursive-CTE oracle)
+    "decontamination_scan",  # NEW in r5 (benchmark 5-gram overlap, broadcast index)
+    "stratified_sample_by_lang",  # NEW in r5 (deterministic md5-threshold sampling)
 ]
 GATE_ROTATION_LAST = [
     # hash-certified (or rows-only by design) in r4, implementation
@@ -94,7 +97,11 @@ GATE_ROTATION_LAST = [
     "ann_lsh_verified_neardup",
     "ann_lsh_buckets",
     "ann_lsh_candidate_pairs",
-    "defragment_line_merge",  # displaced by the two r5 additions (certified r4)
+    # displaced by the five r5 additions (all certified r4, unchanged):
+    "defragment_line_merge",
+    "ann_ivf_kmeans_topk",  # rows-only (iterative Lloyd fit)
+    "text_quality_scoring",
+    "langid_script_heuristic",
 ]
 
 
@@ -1001,8 +1008,10 @@ from ..operators import simsearch as _simsearch  # noqa: E402
 from ..operators import textstats as _textstats  # noqa: E402
 
 from ..operators import bpe as _bpe  # noqa: E402
+from ..operators import corpusops as _corpusops  # noqa: E402
 _dedup.register(query)
 _dedup.register_span_dedup(query)
+_corpusops.register(query)
 _bpe.register(query)
 _simsearch.register(query)
 _simsearch.register_pq(query)

@@ -1,0 +1,104 @@
+"""Corpus-graph operators: connected components, decontamination,
+stratified sampling (operators/corpusops.py). The value-level ground truth
+is the DuckDB oracle (tests/test_queries_oracle.py hash-checks all three
+at sf0.001; the driver re-certifies at sf0.01); these tests pin behaviors
+the hash cannot see: convergence semantics, the broadcast plan shape, and
+the sampling law's determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cc_identical_docs_form_components(spark):
+    from smoldocling_ocr_spark.operators.corpusops import connected_components
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(10, text_a), (11, text_a), (12, text_b), (13, text_b), (14, "lone words here only")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.component, r.csize) for r in connected_components(docs).collect()}
+    assert rows[10] == (10, 2) and rows[11] == (10, 2)
+    assert rows[12] == (12, 2) and rows[13] == (12, 2)
+    assert rows[14] == (14, 1)
+
+
+def test_cc_nonconvergence_raises(spark):
+    from smoldocling_ocr_spark.operators.corpusops import connected_components
+
+    docs = spark.createDataFrame(
+        [(1, "same text body here"), (2, "same text body here")], ["doc_id", "text"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # max_iters=0 -> the loop body never runs -> loud failure, never a
+        # silent partial labeling
+        connected_components(docs, max_iters=0)
+
+
+def test_cc_label_is_component_min(spark):
+    """Every emitted component id is the min doc_id of its member set —
+    the fixpoint invariant the iterative job must reach."""
+    from smoldocling_ocr_spark.operators.corpusops import connected_components
+    from smoldocling_ocr_spark.sources.documents import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = connected_components(docs).collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+    sizes = {r.component: r.csize for r in rows}
+    for comp, members in by_comp.items():
+        assert sizes[comp] == len(members)
+
+
+def test_decontamination_plan_broadcasts_benchmark_index(spark):
+    """The benchmark gram index must ride as an explicit broadcast (it
+    survives autoBroadcastJoinThreshold=-1): the corpus-side scan is a
+    map-side join, never a shuffled join on gram text."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark_queries()["decontamination_scan"](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        tree = plan.split("\n\n(")[0]
+        # exactly one broadcast (gram match) and one shuffled join (the
+        # final doc_id left join — ints, uniform); the corpus gram relation
+        # is deduped per-doc via array_distinct, so no corpus-sized
+        # distinct shuffle appears either
+        assert tree.count("BroadcastHashJoin") == 1, tree
+        assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 1, tree
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_stratified_sample_law(spark):
+    """Membership is exactly u < threshold(lang) with u the first 8 md5 hex
+    nibbles of 'smpl:<doc_id>' — recomputed independently in Python."""
+    import hashlib
+
+    from smoldocling_ocr_spark.operators.corpusops import (
+        SAMPLE_DEFAULT_THRESHOLD,
+        SAMPLE_THRESHOLDS,
+    )
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+    from smoldocling_ocr_spark.sources.documents import read_table
+
+    docs = {r.doc_id: r.lang for r in read_table(spark, SF_DIR, "documents").collect()}
+    kept = {r.doc_id for r in spark_queries()["stratified_sample_by_lang"](spark, SF_DIR).collect()}
+    expected = {
+        did
+        for did, lang in docs.items()
+        if hashlib.md5(f"smpl:{did}".encode()).hexdigest()[:8]
+        < SAMPLE_THRESHOLDS.get(lang, SAMPLE_DEFAULT_THRESHOLD)
+    }
+    assert kept == expected and kept  # non-empty and law-exact
