@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "global_span_dedup",
     "bpe_word_frequencies",
     "dedup_connected_components",
+    "exact_substring_dedup",
     "decontamination_scan",
     "stratified_sample_by_lang",
     "text_quality_scoring",

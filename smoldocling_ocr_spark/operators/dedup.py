@@ -19,7 +19,7 @@ map-side partial aggregation keeps the shuffle narrow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.documents import read_table
 
@@ -311,6 +311,46 @@ SPAN_DEDUP_HOT_K = 65536  # bounded hot-span broadcast list (the Zipf head)
 SPAN_DEDUP_HOT_MIN = 8  # spans below this corpus count carry no skew risk
 
 
+def keyed_min_owner(
+    ex: DataFrame,
+    key: str,
+    owner_key: str = "owner_key",
+    hot_k: int = SPAN_DEDUP_HOT_K,
+    hot_min: int = SPAN_DEDUP_HOT_MIN,
+) -> DataFrame:
+    """``ex`` plus an ``owner`` column = min(owner_key) over rows sharing
+    ``key``, with the hot-key broadcast split: AQE's OptimizeSkewedJoin
+    structurally cannot split the join-back (the owner aggregate sits
+    between the shuffle stage and the join), so the Zipf head is handled
+    explicitly — the top ``hot_k`` keys by count (count >= ``hot_min``)
+    ride as a constant-size broadcast and never shuffle on ``key``; only
+    the uniform cold tail takes the shuffled join. Shared by
+    global_span_dedup and exact_substring_dedup."""
+    owner = ex.groupBy(key).agg(
+        F.min(owner_key).alias("owner"), F.count("*").alias("cnt")
+    )
+    hot = (
+        owner.filter(F.col("cnt") >= hot_min)  # prune BEFORE the top-K: the
+        # candidate set is tiny on any corpus, so TakeOrdered heaps over a
+        # few thousand rows instead of every distinct key
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(hot_k)
+        .select(key, F.col("owner").alias("hot_owner"))
+    )
+    exb = ex.join(F.broadcast(hot), key, "left")
+    hot_rows = (
+        exb.filter(F.col("hot_owner").isNotNull())
+        .withColumn("owner", F.col("hot_owner"))
+        .drop("hot_owner")
+    )
+    cold_rows = (
+        exb.filter(F.col("hot_owner").isNull())
+        .drop("hot_owner")
+        .join(owner.select(key, "owner"), key)
+    )
+    return hot_rows.unionByName(cold_rows)
+
+
 def span_dedup_frame(
     docs: DataFrame,
     span: int = 3,
@@ -356,29 +396,9 @@ def span_dedup_frame(
         ).cast("long"),
     ).otherwise(F.col("doc_id") * owner_enc + F.col("pos"))
     ex = ex.withColumn("owner_key", enc)
-    owner = ex.groupBy("span").agg(
-        F.min("owner_key").alias("owner"), F.count("*").alias("cnt")
+    marked = keyed_min_owner(ex, key="span", hot_k=hot_k, hot_min=hot_min).withColumn(
+        "keep", F.col("owner_key") == F.col("owner")
     )
-    hot = (
-        owner.filter(F.col("cnt") >= hot_min)  # prune BEFORE the top-K: the
-        # candidate set is tiny on any corpus, so TakeOrdered heaps over a
-        # few thousand rows instead of every distinct span
-        .orderBy(F.desc("cnt"), F.asc("span"))
-        .limit(hot_k)
-        .select("span", F.col("owner").alias("hot_owner"))
-    )
-    exb = ex.join(F.broadcast(hot), "span", "left")
-    keep_col = lambda owner_col: (F.col("owner_key") == F.col(owner_col)).alias("keep")
-    hot_rows = exb.filter(F.col("hot_owner").isNotNull()).select(
-        "doc_id", "pos", "span", keep_col("hot_owner")
-    )
-    cold_rows = (
-        exb.filter(F.col("hot_owner").isNull())
-        .drop("hot_owner")
-        .join(owner.select("span", "owner"), "span")
-        .select("doc_id", "pos", "span", keep_col("owner"))
-    )
-    marked = hot_rows.unionByName(cold_rows)
     kept_sorted = F.array_sort(
         F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
     )
@@ -453,3 +473,182 @@ def register_span_dedup(query) -> None:
     def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents")
         return span_dedup_frame(docs, span=SPAN, owner_enc=OWNER_ENC)
+
+
+SUBSTR_L = 5  # minimum duplicated run length, in tokens (Lee et al. use 50 BPE
+# tokens at web scale; 5 keeps the check non-vacuous on the short test docs)
+
+
+def substring_dedup_frame(
+    docs: DataFrame,
+    L: int = SUBSTR_L,
+    owner_enc: int = SPAN_DEDUP_OWNER_ENC,
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr): remove every corpus-wide
+    repeated token run of length >= L from all but its first occurrence.
+    The suffix-array formulation is re-expressed relationally: any repeated
+    run of length >= L is a union of repeated L-grams, so SLIDING L-gram
+    positions (stride 1 — unlike global_span_dedup's disjoint chunks) whose
+    gram occurred earlier elsewhere mark intervals [pos, pos+L), and merging
+    overlapping-or-adjacent intervals per document yields exactly the
+    maximal duplicated ranges to drop.
+
+    Scale shape: one posexplode -> keyed_min_owner (hot-key broadcast split;
+    sliding grams over real text are Zipf-headed) -> per-doc window interval
+    merge (partitioned by doc_id, bounded rows) -> doc-keyed join back for
+    the token rebuild. No pairwise doc comparison anywhere."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams_arr = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(0), n - L),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.posexplode(grams_arr).alias("pos", "gram"))
+    enc = F.when(
+        F.col("pos") >= owner_enc,
+        F.raise_error(F.lit("exact_substring_dedup: pos overflows owner encoding")).cast(
+            "long"
+        ),
+    ).otherwise(F.col("doc_id") * owner_enc + F.col("pos"))
+    ex = ex.withColumn("owner_key", enc)
+    dups = (
+        keyed_min_owner(ex, key="gram")
+        .filter(F.col("owner_key") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    # merge overlapping-or-adjacent [pos, pos+L) intervals per doc: a new
+    # maximal range starts where pos exceeds the running max end of all
+    # earlier intervals (classic sweep, per-doc window — never global)
+    wprev = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    flagged = dups.withColumn(
+        "new_range",
+        F.when(
+            F.col("pos") > F.coalesce(F.max(F.col("pos") + L).over(wprev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("new_range").over(wrun))
+    merged = flagged.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + L).alias("e")
+    )
+    ranges = merged.groupBy("doc_id").agg(
+        F.count("*").alias("removed_ranges"),
+        F.sum(F.col("e") - F.col("s")).alias("removed_tokens"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivals"),
+    )
+    toks_i = F.filter(
+        F.transform(toks, lambda x, i: F.struct(i.alias("i"), x.alias("t"))),
+        lambda st: ~F.exists(
+            F.col("ivals"),
+            lambda v: (st["i"] >= v["s"]) & (st["i"] < v["e"]),
+        ),
+    )
+    return (
+        docs.join(ranges, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("removed_ranges", F.lit(0)).cast("long").alias("removed_ranges"),
+            F.coalesce("removed_tokens", F.lit(0)).cast("long").alias("removed_tokens"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.when(F.col("ivals").isNotNull(), toks_i).otherwise(
+                                F.transform(
+                                    toks,
+                                    lambda x, i: F.struct(i.alias("i"), x.alias("t")),
+                                )
+                            ),
+                            lambda st: st["t"],
+                        ),
+                    )
+                ),
+                1,
+                16,
+            ).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def register_substring_dedup(query) -> None:
+    L = SUBSTR_L
+    OWNER_ENC = SPAN_DEDUP_OWNER_ENC
+
+    @query(
+        "exact_substring_dedup",
+        sql=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, u.i::INT AS pos,
+                 array_to_string(t[(u.i + 1):(u.i + {L})], ' ') AS gram
+          FROM toks, LATERAL unnest(range(greatest(len(t) - {L} + 1, 0))) AS u(i)
+        ),
+        keyed AS (
+          SELECT doc_id, pos, gram,
+                 CASE WHEN pos >= {OWNER_ENC}
+                      THEN error('exact_substring_dedup: pos overflows owner encoding')
+                      ELSE doc_id * {OWNER_ENC} + pos END AS owner_key
+          FROM grams
+        ),
+        owner AS (SELECT gram, min(owner_key) AS owner FROM keyed GROUP BY gram),
+        dups AS (
+          SELECT k.doc_id, k.pos FROM keyed k JOIN owner o ON k.gram = o.gram
+          WHERE k.owner_key <> o.owner
+        ),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + {L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS new_range
+          FROM dups
+        ),
+        grouped AS (
+          SELECT doc_id, pos,
+                 sum(new_range) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM flagged
+        ),
+        merged AS (
+          SELECT doc_id, grp, min(pos) AS s, max(pos) + {L} AS e
+          FROM grouped GROUP BY doc_id, grp
+        ),
+        tok_rows AS (
+          SELECT doc_id, u.i::INT AS ti, t[u.i + 1] AS tok
+          FROM toks, LATERAL unnest(range(len(t))) AS u(i)
+        ),
+        kept AS (
+          SELECT tr.doc_id,
+                 md5(coalesce(string_agg(tr.tok, ' ' ORDER BY tr.ti)
+                     FILTER (WHERE NOT EXISTS (
+                       SELECT 1 FROM merged m
+                       WHERE m.doc_id = tr.doc_id AND tr.ti >= m.s AND tr.ti < m.e
+                     )), '')) AS fp
+          FROM tok_rows tr GROUP BY tr.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(r.removed_ranges, 0) AS BIGINT) AS removed_ranges,
+               CAST(coalesce(r.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+               substring(k.fp, 1, 16) AS kept_fp
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id, count(*) AS removed_ranges, sum(e - s) AS removed_tokens
+          FROM merged GROUP BY doc_id
+        ) r ON d.doc_id = r.doc_id
+        JOIN kept k ON d.doc_id = k.doc_id
+        ORDER BY d.doc_id
+        """,
+    )
+    def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return substring_dedup_frame(docs)

@@ -68,6 +68,7 @@ GATE_ROTATION_FIRST = [
     "bpe_word_frequencies",  # NEW in r5 (the corpus-sized BPE stage, oracle-backed)
     "global_span_dedup",  # CHANGED r5: hot-span broadcast split + overflow guard
     "dedup_connected_components",  # NEW in r5 (LSH-bucket CC, recursive-CTE oracle)
+    "exact_substring_dedup",  # NEW in r5 (Lee et al. sliding-gram interval dedup)
     "decontamination_scan",  # NEW in r5 (benchmark 5-gram overlap, broadcast index)
     "stratified_sample_by_lang",  # NEW in r5 (deterministic md5-threshold sampling)
 ]
@@ -97,11 +98,12 @@ GATE_ROTATION_LAST = [
     "ann_lsh_verified_neardup",
     "ann_lsh_buckets",
     "ann_lsh_candidate_pairs",
-    # displaced by the five r5 additions (all certified r4, unchanged):
+    # displaced by the six r5 additions (all certified r4, unchanged):
     "defragment_line_merge",
     "ann_ivf_kmeans_topk",  # rows-only (iterative Lloyd fit)
     "text_quality_scoring",
     "langid_script_heuristic",
+    "ann_ivf_topk",
 ]
 
 
@@ -1011,6 +1013,7 @@ from ..operators import bpe as _bpe  # noqa: E402
 from ..operators import corpusops as _corpusops  # noqa: E402
 _dedup.register(query)
 _dedup.register_span_dedup(query)
+_dedup.register_substring_dedup(query)
 _corpusops.register(query)
 _bpe.register(query)
 _simsearch.register(query)

@@ -102,3 +102,28 @@ def test_stratified_sample_law(spark):
         < SAMPLE_THRESHOLDS.get(lang, SAMPLE_DEFAULT_THRESHOLD)
     }
     assert kept == expected and kept  # non-empty and law-exact
+
+
+def test_exact_substring_dedup_interval_merge(spark):
+    """A 7-token run copied from an earlier doc yields three overlapping
+    dup 5-gram positions that must merge into ONE maximal range of exactly
+    7 removed tokens; the first occurrence keeps its text intact."""
+    from smoldocling_ocr_spark.operators.dedup import substring_dedup_frame
+
+    run = "r1 r2 r3 r4 r5 r6 r7"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {run} a3 a4"),
+            (2, f"b1 b2 b3 {run} b4"),  # run repeated -> drop here
+            (3, "c1 c2 c3 c4 c5 c6"),  # no dup grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in substring_dedup_frame(docs).collect()}
+    assert rows[1].removed_ranges == 0 and rows[1].removed_tokens == 0
+    assert rows[2].removed_ranges == 1 and rows[2].removed_tokens == 7
+    assert rows[3].removed_ranges == 0 and rows[3].removed_tokens == 0
+    import hashlib
+
+    kept2 = "b1 b2 b3 b4"
+    assert rows[2].kept_fp == hashlib.md5(kept2.encode()).hexdigest()[:16]
