@@ -176,7 +176,11 @@ def _scaling_measurement(scale_path: str, rounds: int) -> dict:
         # pollute the bare-multiprocessing ceiling measured next
         time.sleep(2.0)
         eff = rates[32][0] / rates[8][0] / 4.0
-        ceiling = _host_scaling_ceiling()
+        # physical sanity clamp: the mp ceiling is rate(32)/rate(8)/4 for
+        # the SAME workload — a value > 1.0 means the 8-proc measurement
+        # itself was externally suppressed (observed 1.35 during a tenant
+        # episode), and dividing by it would punish the round twice
+        ceiling = min(_host_scaling_ceiling(), 1.0)
         measured.append(
             {
                 "rates": rates,

@@ -101,39 +101,50 @@ def connected_components(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
     needed = component diameter in the doc↔bucket graph (near-dup
     components are shallow); a loud failure after ``max_iters`` rather
     than a silent partial answer."""
-    bands = _lsh_bands(docs)
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(max_iters):
-        bucket_min = (
-            bands.join(labels, "doc_id")
-            .groupBy("band", "bucket")
-            .agg(F.min("label").alias("blabel"))
-        )
-        pulled = (
-            bands.join(bucket_min, ["band", "bucket"])
-            .groupBy("doc_id")
-            .agg(F.min("blabel").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(pulled, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+    # Iterative-loop hygiene: without truncation, round k's labels lineage
+    # contains every earlier round's joins, so each action re-executes the
+    # WHOLE chain (including the minhash signature aggregation) — observed
+    # 26 s at sf0.1 vs ~6 s truncated. bands is computed once and persisted
+    # (re-read every round); labels are eagerly localCheckpoint-ed each
+    # round, the standard GraphX/GraphFrames pattern (on a real cluster
+    # with a checkpoint dir, reliable checkpointing replaces this).
+    bands = _lsh_bands(docs).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    try:
+        for _ in range(max_iters):
+            bucket_min = (
+                bands.join(labels, "doc_id")
+                .groupBy("band", "bucket")
+                .agg(F.min("label").alias("blabel"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds"
-        )
+            pulled = (
+                bands.join(bucket_min, ["band", "bucket"])
+                .groupBy("doc_id")
+                .agg(F.min("blabel").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(pulled, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+    finally:
+        bands.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("csize"))
     return (
         labels.join(sizes, "label")
