@@ -229,3 +229,53 @@ class SnapshotTable:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.snap_dir, f"{manifest['sequence']:012d}-{commit_id}.json"))
         return manifest
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` manifests and garbage-collect data files referenced
+        ONLY by the expired ones (a file shared with any retained snapshot
+        survives — append manifests carry the full live file list, so
+        shared references are the normal case). Returns an accounting dict.
+
+        Time travel contracts after expiry: retained snapshots keep
+        working; reads of expired ids raise KeyError in read(). At 10^12
+        docs this is what bounds metadata growth and reclaims storage from
+        compacted-away small files; the deletion order (manifests first,
+        then orphaned files) means a crash mid-expiry leaves only harmless
+        unreferenced files, never a manifest pointing at deleted data."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self._snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": 0, "deleted_files": 0, "kept_snapshots": len(snaps)}
+        expired, retained = snaps[:-keep_last], snaps[-keep_last:]
+        keep_files = {f for s in retained for f in s["files"]}
+        dead = [
+            f
+            for s in expired
+            for f in s["files"]
+            if f not in keep_files
+        ]
+        dead = sorted(set(dead))
+        # manifests first: once a manifest is gone its files are invisible,
+        # so a crash between the two phases only strands orphan files
+        for s in expired:
+            path = os.path.join(
+                self.snap_dir, f"{s['sequence']:012d}-{s['snapshot_id']}.json"
+            )
+            os.remove(path)
+        deleted = 0
+        for f in dead:
+            if os.path.exists(f):
+                os.remove(f)
+                deleted += 1
+        # drop now-empty commit dirs so the data dir doesn't accrete husks
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_files": deleted,
+            "kept_snapshots": len(retained),
+        }

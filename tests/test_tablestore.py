@@ -125,3 +125,53 @@ def test_compaction_preserves_content_and_time_travel(spark, tmp_path):
     # time travel to the pre-compaction snapshot unaffected
     old = t.read(spark, pre["snapshot_id"])
     assert old.count() == 40 and len(pre["files"]) >= 8
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots keeps the newest N manifests, deletes data files
+    referenced only by expired ones, and leaves shared files (append
+    manifests carry the full live list) untouched; reads of expired ids
+    raise, retained time travel still works."""
+    import os
+
+    import pytest
+
+    from smoldocling_ocr_spark.sources.tablestore import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    snaps = []
+    for batch in range(3):
+        snaps.append(
+            t.append(
+                spark.range(batch * 5, batch * 5 + 5)
+                .repartition(2)
+                .selectExpr("cast(id as string) AS url", "id AS v")
+            )
+        )
+    # compact: the compacted snapshot references ONLY its own rewritten
+    # files, so after expiry the three original commits become orphans
+    t.compact(spark, target_partitions=1)
+
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == 3 and res["kept_snapshots"] == 1
+    assert res["deleted_files"] > 0
+    # the live read is intact
+    got = {(r["url"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(str(i), i) for i in range(15)}
+    # expired snapshot id no longer resolves
+    with pytest.raises(KeyError):
+        t.read(spark, snapshot_id=snaps[0]["snapshot_id"])
+    # every file referenced by the retained manifest still exists
+    cur = t.current_snapshot()
+    assert all(os.path.exists(f) for f in cur["files"])
+    # noop expiry when nothing to drop
+    res2 = t.expire_snapshots(keep_last=5)
+    assert res2["expired_snapshots"] == 0
+
+    # retention floor: a shared-file case — append after compaction, then
+    # keep_last=2 must retain the compacted files BOTH snapshots reference
+    t.append(spark.range(100, 105).selectExpr("cast(id as string) AS url", "id AS v"))
+    res3 = t.expire_snapshots(keep_last=2)
+    assert res3["deleted_files"] == 0  # compacted files shared with newest
+    got2 = {r["v"] for r in t.read(spark).collect()}
+    assert got2 == set(range(15)) | set(range(100, 105))
