@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "decontamination_scan",
     "stratified_sample_by_lang",
+    "unigram_freq_score",
     "text_quality_scoring",
     "doc_fingerprint",
     "payload_size_tiers",

@@ -602,3 +602,77 @@ def register(query) -> None:
             flag(F.col("terminal_lines") * 2 >= F.col("lines")).alias("ok_terminal_punct"),
             flag(F.col("long_lines") * 2 >= F.col("lines")).alias("ok_line_words"),
         ).orderBy("doc_id")
+
+
+UNIGRAM_HOT_K = 65536  # Zipf head: top-K vocabulary rides as a broadcast
+
+
+def register_unigram(query) -> None:
+    @query(
+        "unigram_freq_score",
+        sql="""
+        WITH tokf AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+          ) WHERE word <> ''
+        ),
+        freq AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tokf GROUP BY word
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS token_count,
+               CAST(sum(f.freq) AS BIGINT) AS freq_sum,
+               CAST((sum(f.freq) * 1000) // count(*) AS BIGINT) AS mean_freq_milli
+        FROM tokf t JOIN freq f ON t.word = f.word
+        GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+    )
+    def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-self-trained unigram frequency scoring (the CCNet/KenLM
+        LM-quality filter's integer-exact cousin: documents made of corpus-
+        common words score high, OCR noise and gibberish score low). Two
+        passes over the corpus: the vocabulary aggregation, then a token →
+        frequency lookup join.
+
+        The lookup join is Zipf-skew-proof by construction: the top
+        ``UNIGRAM_HOT_K`` words by frequency — which cover the overwhelming
+        mass of token OCCURRENCES on real text — ride as one bounded
+        broadcast and match map-side; only tokens of tail words (corpus
+        frequency below the 65537th word, so bounded join multiplicity)
+        take the shuffled word join. Same hot-key split as
+        dedup.keyed_min_owner, applied to a lookup instead of a min.
+        All arithmetic is BIGINT (mean scaled ×1000 with integer
+        division) — no float anywhere."""
+        docs = read_table(spark, sf_dir, "documents")
+        toks = (
+            docs.select(
+                "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+        )
+        freq = toks.groupBy("word").agg(F.count("*").alias("freq"))
+        hot = (
+            freq.orderBy(F.desc("freq"), F.asc("word"))
+            .limit(UNIGRAM_HOT_K)
+            .select("word", F.col("freq").alias("hot_freq"))
+        )
+        tb = toks.join(F.broadcast(hot), "word", "left")
+        hot_rows = tb.filter(F.col("hot_freq").isNotNull()).select(
+            "doc_id", F.col("hot_freq").alias("freq")
+        )
+        cold_rows = (
+            tb.filter(F.col("hot_freq").isNull())
+            .drop("hot_freq")
+            .join(freq, "word")
+            .select("doc_id", "freq")
+        )
+        return (
+            hot_rows.unionByName(cold_rows)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("token_count"),
+                F.sum("freq").alias("freq_sum"),
+                F.expr("(sum(freq) * 1000) div count(*)").alias("mean_freq_milli"),
+            )
+            .orderBy("doc_id")
+        )

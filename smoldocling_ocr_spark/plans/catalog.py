@@ -71,6 +71,7 @@ GATE_ROTATION_FIRST = [
     "exact_substring_dedup",  # NEW in r5 (Lee et al. sliding-gram interval dedup)
     "decontamination_scan",  # NEW in r5 (benchmark 5-gram overlap, broadcast index)
     "stratified_sample_by_lang",  # NEW in r5 (deterministic md5-threshold sampling)
+    "unigram_freq_score",  # NEW in r5 (corpus-self-trained LM-quality proxy)
 ]
 GATE_ROTATION_LAST = [
     # hash-certified (or rows-only by design) in r4, implementation
@@ -98,12 +99,13 @@ GATE_ROTATION_LAST = [
     "ann_lsh_verified_neardup",
     "ann_lsh_buckets",
     "ann_lsh_candidate_pairs",
-    # displaced by the six r5 additions (all certified r4, unchanged):
+    # displaced by the seven r5 additions (all certified r4, unchanged):
     "defragment_line_merge",
     "ann_ivf_kmeans_topk",  # rows-only (iterative Lloyd fit)
     "text_quality_scoring",
     "langid_script_heuristic",
     "ann_ivf_topk",
+    "embedding_label_centroids",
 ]
 
 
@@ -1020,6 +1022,7 @@ _simsearch.register(query)
 _simsearch.register_pq(query)
 _simsearch.register_ivf_pq(query)
 _textstats.register(query)
+_textstats.register_unigram(query)
 _multimodal.register(query)
 
 
