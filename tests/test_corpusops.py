@@ -127,3 +127,56 @@ def test_exact_substring_dedup_interval_merge(spark):
 
     kept2 = "b1 b2 b3 b4"
     assert rows[2].kept_fp == hashlib.md5(kept2.encode()).hexdigest()[:16]
+
+
+def test_unigram_plan_hot_broadcast(spark):
+    """The vocabulary head must join as an explicit broadcast (survives
+    threshold -1); at most one shuffled join (the cold word tail)."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark_queries()["unigram_freq_score"](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        tree = plan.split("\n\n(")[0]
+        assert tree.count("BroadcastHashJoin") >= 1, tree
+        assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1, tree
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_substring_dedup_plan_shape(spark):
+    """exact_substring_dedup inherits keyed_min_owner's hot-split shape:
+    one shuffled gram join for the cold tail, explicit broadcasts for the
+    hot list, plus the doc-keyed rebuild join — no cartesian anywhere."""
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark_queries()["exact_substring_dedup"](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        tree = plan.split("\n\n(")[0]
+        assert tree.count("BroadcastHashJoin") == 2, tree  # hot list x2 (probe + hot branch)
+        # cold gram join + doc-keyed rebuild join
+        assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 2, tree
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_substring_dedup_fully_duplicated_doc(spark):
+    """A doc whose entire text is a copy of an earlier doc loses ALL its
+    tokens: one maximal range, kept_fp == md5('')."""
+    import hashlib
+
+    from smoldocling_ocr_spark.operators.dedup import substring_dedup_frame
+
+    t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in substring_dedup_frame(docs).collect()}
+    assert rows[1].removed_tokens == 0
+    assert rows[2].removed_ranges == 1 and rows[2].removed_tokens == 8
+    assert rows[2].kept_fp == hashlib.md5(b"").hexdigest()[:16]
