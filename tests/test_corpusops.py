@@ -180,3 +180,135 @@ def test_substring_dedup_fully_duplicated_doc(spark):
     assert rows[1].removed_tokens == 0
     assert rows[2].removed_ranges == 1 and rows[2].removed_tokens == 8
     assert rows[2].kept_fp == hashlib.md5(b"").hexdigest()[:16]
+
+
+def test_substring_dedup_vs_bruteforce_reference(spark):
+    """Randomized cross-check against an independent brute-force Python
+    implementation of the ExactSubstr semantics (sliding L-gram first-
+    occurrence ownership -> interval merge -> token drop) on a tiny-vocab
+    corpus engineered for heavy gram collisions."""
+    import hashlib
+    import random
+
+    from smoldocling_ocr_spark.operators.dedup import SUBSTR_L, substring_dedup_frame
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(7)]  # tiny vocab -> many repeated 5-grams
+    docs = [
+        (did, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for did in range(40)
+    ]
+
+    L = SUBSTR_L
+    first: dict[tuple, tuple] = {}
+    grams_by_doc: dict[int, list[tuple]] = {}
+    for did, text in docs:  # docs are in doc_id order: first-seen == min owner
+        toks = text.split(" ")
+        for p in range(len(toks) - L + 1):
+            g = tuple(toks[p : p + L])
+            first.setdefault(g, (did, p))
+            grams_by_doc.setdefault(did, []).append((p, g))
+    expected = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        dup_pos = sorted(
+            p for p, g in grams_by_doc.get(did, []) if first[g] != (did, p)
+        )
+        merged = []
+        for p in dup_pos:  # merge overlapping-or-adjacent [p, p+L)
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + L)
+            else:
+                merged.append([p, p + L])
+        covered = set()
+        for s, e in merged:
+            covered.update(range(s, e))
+        kept = " ".join(t for i, t in enumerate(toks) if i not in covered)
+        expected[did] = (
+            len(merged),
+            sum(e - s for s, e in merged),
+            hashlib.md5(kept.encode()).hexdigest()[:16],
+        )
+
+    got = {
+        r.doc_id: (r.removed_ranges, r.removed_tokens, r.kept_fp)
+        for r in substring_dedup_frame(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == expected
+    # the corpus must actually exercise the operator
+    assert sum(v[1] for v in expected.values()) > 0
+
+
+def test_cc_vs_unionfind_reference(spark):
+    """Cross-check connected_components against an independent Python
+    union-find over the SAME md5 minhash-band law: buckets -> star edges ->
+    components. Catches label-propagation convergence/ordering bugs the
+    fixed-corpus oracle could miss."""
+    import hashlib
+    import random
+
+    from smoldocling_ocr_spark.operators.corpusops import connected_components
+    from smoldocling_ocr_spark.operators.dedup import BAND_SIZE, MINHASH_SEEDS
+
+    rng = random.Random(99)
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten"]
+    docs = []
+    for did in range(30):
+        if rng.random() < 0.5:
+            t = rng.choice(base)
+            if rng.random() < 0.5:  # near-dup: shared shingles remain
+                t = t + " extra" + str(rng.randint(0, 2))
+        else:
+            t = " ".join(f"u{did}_{i}" for i in range(8))
+        docs.append((did, t))
+
+    def shingles(text):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
+
+    buckets: dict[tuple, list[int]] = {}
+    for did, text in docs:
+        sh = shingles(text)
+        mins = [
+            min(hashlib.md5(f"{s}:{g}".encode()).hexdigest() for g in sh)
+            for s in range(MINHASH_SEEDS)
+        ]
+        for b in range(MINHASH_SEEDS // BAND_SIZE):
+            key = hashlib.md5(
+                ",".join(mins[b * BAND_SIZE : (b + 1) * BAND_SIZE]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(did)
+
+    parent = {did: did for did, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for did, _ in docs:
+        comp.setdefault(find(did), []).append(did)
+    expected = {
+        did: (min(members), len(members))
+        for members in comp.values()
+        for did in members
+    }
+
+    got = {
+        r.doc_id: (r.component, r.csize)
+        for r in connected_components(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 2 for v in expected.values())  # a multi-doc chain exists
