@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "decontamination_scan",
     "stratified_sample_by_lang",
     "unigram_freq_score",
+    "training_chunks",
+    "sequence_packing",
     "text_quality_scoring",
     "doc_fingerprint",
     "payload_size_tiers",

@@ -32,7 +32,7 @@ training-data rebuild needs around it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.documents import read_table
 from .dedup import BAND_SIZE, MINHASH_SEEDS, _SHINGLES_SQL
@@ -296,3 +296,125 @@ def register(query) -> None:
         for lang, t in reversed(list(SAMPLE_THRESHOLDS.items())):
             expr = F.when(thr == lang, F.lit(t)).otherwise(expr)
         return docs.filter(u < expr).select("doc_id", "lang").orderBy("doc_id")
+
+
+# --- training-sequence production (chunking + packing) ----------------------
+
+CHUNK_W = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # stride (overlap = W - stride = 8)
+PACK_BUDGET = 256  # tokens per packed sequence
+PACK_SHARDS = 16  # packing shards: bounded window partitions at any scale
+
+
+def register_training(query) -> None:
+    @query(
+        "training_chunks",
+        sql=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, u.i::INT AS chunk_id,
+                 t[(u.i * {CHUNK_STRIDE} + 1):(u.i * {CHUNK_STRIDE} + {CHUNK_W})] AS ck
+          FROM toks,
+               LATERAL unnest(range((greatest(len(t) - 1, 0) // {CHUNK_STRIDE}) + 1)) AS u(i)
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(ck) AS BIGINT) AS n_tokens,
+               substring(md5(array_to_string(ck, ' ')), 1, 16) AS chunk_fp
+        FROM chunks ORDER BY doc_id, chunk_id
+        """,
+    )
+    def training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Overlapping token-window chunking (the make-training-sequences
+        stage): windows of CHUNK_W tokens at CHUNK_STRIDE, last window
+        ragged. Pure per-doc projection + explode — embarrassingly
+        parallel, no shuffle except the presentation sort."""
+        docs = read_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        n_chunks = (F.greatest(F.size(toks) - 1, F.lit(0)) / CHUNK_STRIDE).cast(
+            "int"
+        ) + 1
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_W),
+        )
+        return (
+            docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ck"))
+            .select(
+                "doc_id",
+                "chunk_id",
+                F.size("ck").cast("long").alias("n_tokens"),
+                F.substring(F.md5(F.concat_ws(" ", F.col("ck"))), 1, 16).alias(
+                    "chunk_fp"
+                ),
+            )
+            .orderBy("doc_id", "chunk_id")
+        )
+
+    @query(
+        "sequence_packing",
+        sql=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, u.i::INT AS chunk_id,
+                 len(t[(u.i * {CHUNK_STRIDE} + 1):(u.i * {CHUNK_STRIDE} + {CHUNK_W})]) AS n_tokens
+          FROM toks,
+               LATERAL unnest(range((greatest(len(t) - 1, 0) // {CHUNK_STRIDE}) + 1)) AS u(i)
+        ),
+        placed AS (
+          SELECT doc_id % {PACK_SHARDS} AS shard, doc_id, chunk_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM chunks
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM placed GROUP BY shard, cum_before // {PACK_BUDGET}
+        ORDER BY shard, bin
+        """,
+    )
+    def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GPT-style concat-then-cut sequence packing: chunks stream in
+        deterministic (doc_id, chunk_id) order within a shard and land in
+        bin = floor(cumulative_tokens_before / budget). Sharding by
+        doc_id % PACK_SHARDS keeps every packing window partition bounded
+        at any corpus size (a single global cumsum would be an
+        Exchange SinglePartition — forbidden); shards pack independently
+        exactly as real pipelines pack per output file."""
+        docs = read_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        n_chunks = (F.greatest(F.size(toks) - 1, F.lit(0)) / CHUNK_STRIDE).cast(
+            "int"
+        ) + 1
+        sizes = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.size(F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_W)),
+        )
+        chunks = docs.select(
+            "doc_id", F.posexplode(sizes).alias("chunk_id", "n_tokens")
+        ).withColumn("shard", F.col("doc_id") % PACK_SHARDS)
+        w = (
+            W.partitionBy("shard")
+            .orderBy("doc_id", "chunk_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        placed = chunks.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        return (
+            placed.groupBy(
+                F.col("shard").cast("long").alias("shard"),
+                F.expr(f"cum_before div {PACK_BUDGET}").alias("bin"),
+            )
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .orderBy("shard", "bin")
+        )

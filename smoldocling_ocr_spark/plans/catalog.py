@@ -72,6 +72,8 @@ GATE_ROTATION_FIRST = [
     "decontamination_scan",  # NEW in r5 (benchmark 5-gram overlap, broadcast index)
     "stratified_sample_by_lang",  # NEW in r5 (deterministic md5-threshold sampling)
     "unigram_freq_score",  # NEW in r5 (corpus-self-trained LM-quality proxy)
+    "training_chunks",  # NEW in r5 (overlapping token-window chunking)
+    "sequence_packing",  # NEW in r5 (sharded concat-then-cut packing)
 ]
 GATE_ROTATION_LAST = [
     # hash-certified (or rows-only by design) in r4, implementation
@@ -106,6 +108,8 @@ GATE_ROTATION_LAST = [
     "langid_script_heuristic",
     "ann_ivf_topk",
     "embedding_label_centroids",
+    "ann_cosine_topk",
+    "embedding_cosine_neardup",
 ]
 
 
@@ -1017,6 +1021,7 @@ _dedup.register(query)
 _dedup.register_span_dedup(query)
 _dedup.register_substring_dedup(query)
 _corpusops.register(query)
+_corpusops.register_training(query)
 _bpe.register(query)
 _simsearch.register(query)
 _simsearch.register_pq(query)
