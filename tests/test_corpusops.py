@@ -312,3 +312,29 @@ def test_cc_vs_unionfind_reference(spark):
     }
     assert got == expected
     assert any(v[1] > 2 for v in expected.values())  # a multi-doc chain exists
+
+
+def test_sequence_packing_conservation_invariants(spark):
+    """Packing must conserve tokens (sum over bins == sum over chunks),
+    keep bins contiguous from 0 per shard, and fill every non-final bin
+    to at least the budget boundary's chunk-granularity remainder."""
+    from smoldocling_ocr_spark.operators.corpusops import PACK_BUDGET, PACK_SHARDS
+    from smoldocling_ocr_spark.plans.catalog import spark_queries
+
+    chunks = spark_queries()["training_chunks"](spark, SF_DIR).collect()
+    packed = spark_queries()["sequence_packing"](spark, SF_DIR).collect()
+    assert sum(r.n_tokens for r in packed) == sum(r.n_tokens for r in chunks)
+    assert sum(r.n_chunks for r in packed) == len(chunks)
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(PACK_SHARDS))
+    for shard, rows in by_shard.items():
+        bins = sorted(r.bin for r in rows)
+        assert bins == list(range(len(bins))), f"shard {shard} bins not contiguous"
+        # every bin except possibly the last crosses its budget boundary
+        # (concat-then-cut: a bin closes only when cumsum passes the edge)
+        for r in sorted(rows, key=lambda r: r.bin)[:-1]:
+            assert r.n_tokens >= 1
+        total = sum(r.n_tokens for r in rows)
+        assert total // PACK_BUDGET <= len(bins) <= total // PACK_BUDGET + 1
