@@ -121,3 +121,47 @@ def test_spark_submit_pyfiles_cold(spark, cc_docs, tmp_path):
         for r in extract_documents(spark.read.parquet(inp)).select("url", "markdown").collect()
     }
     assert got == want and len(got) == 8
+
+
+def _run_curate(args: list[str]) -> None:
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "curate_job.py"), *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+
+def test_curate_job_cli(spark, tmp_path):
+    """End-to-end corpus-curation job (subprocess — main() owns and stops
+    its session): components + curated + sequences tables written,
+    deterministic across re-runs, duplicates collapsed."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated")
+    _run_curate(["--input", inp, "--output", out, "--cores", "8"])
+
+    comps = spark.read.parquet(f"{out}/components")
+    assert comps.count() == docs.count()
+    curated = spark.read.parquet(f"{out}/curated")
+    n_curated = curated.count()
+    assert 0 < n_curated < docs.count()  # dedup + decon + sampling all bit
+    # survivors are component minima only
+    import pyspark.sql.functions as F
+
+    heads = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    assert curated.join(heads, "doc_id", "left_anti").count() == 0
+    seqs = spark.read.parquet(f"{out}/sequences")
+    assert seqs.count() > 0 and set(seqs.select("shard").distinct().toPandas()["shard"]) <= set(range(16))
+
+    # determinism: a re-run writes the identical curated set
+    out2 = str(tmp_path / "curated2")
+    _run_curate(["--input", inp, "--output", out2, "--cores", "8"])
+    a = sorted(r.doc_id for r in curated.collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(f"{out2}/curated").collect())
+    assert a == b
