@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "unigram_freq_score",
     "training_chunks",
     "sequence_packing",
+    "bpe_encode_corpus",
     "text_quality_scoring",
     "doc_fingerprint",
     "payload_size_tiers",

@@ -126,3 +126,78 @@ def register(query) -> None:
             [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
             "merge_rank int, left string, right string, pair_count long",
         ).orderBy("merge_rank")
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Distributed BPE tokenization with a trained merge table — the
+    consumer stage of bpe_train_merges (what "tokenize the corpus" means
+    at 10¹² docs): the merge table is tiny (vocab-sized) and rides to every
+    task inside the serialized UDF closure (broadcast-equivalent for a
+    small relation; an explicit ``sc.broadcast`` is the same plumbing), and
+    documents stream through ONE mapInPandas pass — Arrow-batched, with a
+    per-batch unique-word memo so each distinct word is segmented once per
+    batch, not once per occurrence (Zipf makes this ~10× fewer
+    apply_merges calls on real text).
+
+    Output: (doc_id, ws_tokens, bpe_tokens, stream_fp) — whitespace vs BPE
+    token counts and an md5[:16] fingerprint of the space-joined token
+    stream. Python-UDF territory by necessity: merge application is an
+    iterative per-word reduction no built-in expresses; everything around
+    it (the fit's corpus aggregation, the counts) stays relational."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    frozen = [(l, r) for l, r, _ in merges]
+
+    def encode_batches(batches):
+        import hashlib
+
+        memo: dict[str, list[str]] = {}
+
+        def seg(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = apply_merges(word, [(l, r, 0) for l, r in frozen])
+            return got
+
+        for pdf in batches:
+            out = {"doc_id": [], "ws_tokens": [], "bpe_tokens": [], "stream_fp": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in text.lower().split(" ") if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(seg(w))
+                out["doc_id"].append(doc_id)
+                out["ws_tokens"].append(len(words))
+                out["bpe_tokens"].append(len(toks))
+                out["stream_fp"].append(
+                    hashlib.md5(" ".join(toks).encode()).hexdigest()[:16]
+                )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ws_tokens", T.LongType()),
+            T.StructField("bpe_tokens", T.LongType()),
+            T.StructField("stream_fp", T.StringType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(encode_batches, schema=schema).orderBy("doc_id")
+
+
+def register_encode(query) -> None:
+    @query("bpe_encode_corpus")  # rows-only: merge application is an
+    # iterative per-word reduction (no SQL form); invariants pinned in
+    # tests/test_bpe.py — losslessness (detok == original words + END
+    # markers), count bounds, and a known-answer tiny corpus
+    def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        wf = [(r.word, r.freq) for r in word_frequencies(docs, max_vocab=65536).collect()]
+        merges = bpe_fit(wf, n_merges=24)
+        return bpe_encode_corpus(docs, merges)

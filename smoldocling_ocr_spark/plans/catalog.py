@@ -74,6 +74,7 @@ GATE_ROTATION_FIRST = [
     "unigram_freq_score",  # NEW in r5 (corpus-self-trained LM-quality proxy)
     "training_chunks",  # NEW in r5 (overlapping token-window chunking)
     "sequence_packing",  # NEW in r5 (sharded concat-then-cut packing)
+    "bpe_encode_corpus",  # NEW in r5 (distributed tokenization, rows-only)
 ]
 GATE_ROTATION_LAST = [
     # hash-certified (or rows-only by design) in r4, implementation
@@ -110,6 +111,7 @@ GATE_ROTATION_LAST = [
     "embedding_label_centroids",
     "ann_cosine_topk",
     "embedding_cosine_neardup",
+    "dedup_simhash",
 ]
 
 
@@ -1023,6 +1025,7 @@ _dedup.register_substring_dedup(query)
 _corpusops.register(query)
 _corpusops.register_training(query)
 _bpe.register(query)
+_bpe.register_encode(query)
 _simsearch.register(query)
 _simsearch.register_pq(query)
 _simsearch.register_ivf_pq(query)

@@ -94,3 +94,41 @@ def test_catalog_entry_runs(spark):
     assert len(rows) == 24
     assert [r.merge_rank for r in rows] == list(range(24))
     assert all(r.pair_count >= 2 for r in rows)
+
+
+def test_bpe_encode_corpus_invariants(spark):
+    """Distributed tokenization invariants: per-doc BPE token count is
+    bounded by [ws_tokens, total chars + ws_tokens] (END markers add one
+    per word; merges only shrink), the stream fingerprint matches a local
+    re-tokenization, and counts agree with apply_merges word-by-word."""
+    import hashlib
+
+    from smoldocling_ocr_spark.operators.bpe import (
+        apply_merges,
+        bpe_encode_corpus,
+        bpe_fit,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "widest wide wider new"),
+        ],
+        ["doc_id", "text"],
+    )
+    wf = [(r.word, r.freq) for r in word_frequencies(docs).collect()]
+    merges = bpe_fit(wf, n_merges=12)
+    assert merges  # the tiny corpus must learn something
+    rows = {r.doc_id: r for r in bpe_encode_corpus(docs, merges).collect()}
+    for did, text in [(1, "low low low lower lowest"), (2, "new newer newest low"), (3, "widest wide wider new")]:
+        words = text.split(" ")
+        expect_toks = []
+        for w in words:
+            expect_toks.extend(apply_merges(w, merges))
+        r = rows[did]
+        assert r.ws_tokens == len(words)
+        assert r.bpe_tokens == len(expect_toks)
+        assert r.ws_tokens <= r.bpe_tokens <= sum(len(w) for w in words) + len(words)
+        assert r.stream_fp == hashlib.md5(" ".join(expect_toks).encode()).hexdigest()[:16]
