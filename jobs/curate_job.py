@@ -65,27 +65,29 @@ def main(argv: list[str] | None = None) -> None:
     comps.write.mode("overwrite").parquet(f"{out}/components")
 
     # 2. decontamination: drop docs sharing any benchmark 5-gram (the
-    # benchmark rows themselves are held out of the training corpus too)
+    # benchmark rows themselves are held out of the training corpus too).
+    # The benchmark gram index is built from ALL input docs, NOT from the
+    # dedup survivors: a benchmark doc removed by duplicate clustering
+    # must still contaminate its surviving twin (building the index from
+    # survivors would let the benchmark's own text ship in the training
+    # set through a duplicate). word_grams guards docs shorter than the
+    # gram width.
     if not args.skip_decontamination:
+        from smoldocling_ocr_spark.operators.dedup import word_grams
+
         toks = F.split(F.lower(F.col("text")), " ")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - DECON_NGRAM, F.lit(-1)))
-        grams = survivors.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, DECON_NGRAM))
-                    )
-                )
-            ).alias("gram"),
-        )
         is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
-        bench = grams.filter(is_bench).select("gram").distinct()
-        contaminated = (
-            grams.filter(~is_bench)
-            .join(F.broadcast(bench), "gram")
-            .select("doc_id")
+        bench = (
+            docs.filter(is_bench)
+            .select(F.explode(F.array_distinct(word_grams(toks, DECON_NGRAM))).alias("gram"))
             .distinct()
+        )
+        surv_grams = survivors.filter(~is_bench).select(
+            "doc_id",
+            F.explode(F.array_distinct(word_grams(toks, DECON_NGRAM))).alias("gram"),
+        )
+        contaminated = (
+            surv_grams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
         )
         survivors = (
             survivors.filter(~is_bench)
@@ -94,7 +96,11 @@ def main(argv: list[str] | None = None) -> None:
 
     # 3. cheap quality gate (full Gopher bank lives in textstats; the word
     # band is the stage-gate form)
-    survivors = survivors.filter(F.size(F.split(F.col("text"), " ")) >= args.min_words)
+    # count WORDS, not split fragments: consecutive/leading spaces yield
+    # empty strings that must not pass the gate
+    survivors = survivors.filter(
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")) >= args.min_words
+    )
 
     # 4. per-language deterministic downsampling
     if not args.skip_sampling:

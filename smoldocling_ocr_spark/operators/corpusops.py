@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.documents import read_table
-from .dedup import BAND_SIZE, MINHASH_SEEDS, _SHINGLES_SQL
+from .dedup import BAND_SIZE, MINHASH_SEEDS, _SHINGLES_SQL, lsh_bands, word_grams
 
 CC_MAX_ITERS = 20
 
@@ -58,40 +58,6 @@ SAMPLE_THRESHOLDS = {
 SAMPLE_DEFAULT_THRESHOLD = "80000000"  # 0.5 for unlisted languages
 
 
-def _lsh_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) — the same banded-minhash law as
-    dedup_minhash_lsh (operators/dedup.py): k min-aggregates over
-    unexploded shingles, md5 band buckets."""
-    toks = F.split(F.lower(F.col("text")), " ")
-    n = 3
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        ).alias("shingle"),
-    )
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
-        for s in range(MINHASH_SEEDS)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"minh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
-                )
-            ).alias("bucket"),
-        )
-        for b in range(MINHASH_SEEDS // BAND_SIZE)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
-    )
-
-
 def connected_components(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """(doc_id, component, csize) for every document: component = min doc_id
     reachable through shared LSH buckets, csize = component population.
@@ -108,7 +74,7 @@ def connected_components(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
     # (re-read every round); labels are eagerly localCheckpoint-ed each
     # round, the standard GraphX/GraphFrames pattern (on a real cluster
     # with a checkpoint dir, reliable checkpointing replaces this).
-    bands = _lsh_bands(docs).persist()
+    bands = lsh_bands(docs).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     try:
         for _ in range(max_iters):
@@ -234,22 +200,14 @@ def register(query) -> None:
         the only shuffle is the per-doc hit count."""
         docs = read_table(spark, sf_dir, "documents")
         toks = F.split(F.lower(F.col("text")), " ")
-        idx = F.sequence(
-            F.lit(0), F.greatest(F.size(toks) - DECON_NGRAM, F.lit(-1))
-        )
         # per-doc dedup via array_distinct BEFORE the explode: the oracle's
         # SELECT DISTINCT (doc_id, gram) semantics with ZERO shuffle — a
         # global .distinct() here would shuffle the corpus-sized gram
-        # relation for nothing
+        # relation for nothing; word_grams guards docs shorter than the
+        # gram width (empty array, matching the oracle)
         grams = docs.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, DECON_NGRAM))
-                    )
-                )
-            ).alias("gram"),
+            F.explode(F.array_distinct(word_grams(toks, DECON_NGRAM))).alias("gram"),
         )
         is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
         bench = grams.filter(is_bench).select("gram").distinct()

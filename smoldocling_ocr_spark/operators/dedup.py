@@ -28,13 +28,26 @@ BAND_SIZE = 2
 JACCARD_THRESHOLD = 0.5
 
 
+
+def word_grams(toks, n: int):
+    """Array of word n-grams (space-joined) of a token-array column; EMPTY
+    — not crashing — for docs with fewer than n tokens. The unguarded form
+    sequence(0, greatest(size-n, -1)) DESCENDS to [0, -1] when size < n
+    (Spark sequence semantics) and slice(toks, 0, n) then throws
+    INVALID_PARAMETER_VALUE.START; the DuckDB oracles' range(greatest(.,0))
+    is immune, so short docs would also diverge cross-engine. One shared
+    guarded law for every gram-based operator."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) word n-grams of lower(text)."""
     toks = F.split(F.lower(F.col("text")), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    shingle = F.explode(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    ).alias("shingle")
+    shingle = F.explode(word_grams(toks, n)).alias("shingle")
     return docs.select("doc_id", shingle).distinct()
 
 
@@ -44,6 +57,35 @@ _SHINGLES_SQL = """
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
            LATERAL unnest(range(greatest(len(toks) - 2, 0))) AS t(i)
 """
+
+
+
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the banded-minhash relation, THE shared law
+    for dedup_minhash_lsh and connected-components clustering (one
+    implementation so the pair query and the cluster query can never
+    disagree): k md5-keyed min-hash aggregates over UNEXPLODED
+    (doc_id, shingle) rows (map-side combine; min() is duplicate-invariant
+    so no distinct), then md5 band buckets."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = docs.select("doc_id", F.explode(word_grams(toks, 3)).alias("shingle"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
+        for s in range(MINHASH_SEEDS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"minh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)])
+            ).alias("bucket"),
+        )
+        for b in range(MINHASH_SEEDS // BAND_SIZE)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
 
 
 def register(query) -> None:
@@ -116,14 +158,9 @@ def register(query) -> None:
         docs = read_table(spark, sf_dir, "documents")
         toks = F.split(F.lower(F.col("text")), " ")
         n = 3
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
         sh = (
-            docs.select(
-                "doc_id",
-                F.explode(
-                    F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
-                ).alias("sh"),
-            )
+            docs.select("doc_id", F.explode(word_grams(toks, n)).alias("g"))
+            .select("doc_id", F.xxhash64("g").alias("sh"))
             .distinct()
         )
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -221,32 +258,7 @@ def register(query) -> None:
         # (doc_id, shingle-string) dedup removes a whole string shuffle
         # (the oracle keeps its DISTINCT; results are provably identical).
         docs = read_table(spark, sf_dir, "documents")
-        toks = F.split(F.lower(F.col("text")), " ")
-        n = 3
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-        sh = docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-            ).alias("shingle"),
-        )
-        mins = [
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
-            for s in range(MINHASH_SEEDS)
-        ]
-        sig = sh.groupBy("doc_id").agg(*mins)
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"minh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)])
-                ).alias("bucket"),
-            )
-            for b in range(MINHASH_SEEDS // BAND_SIZE)
-        ]
-        bands = sig.select(
-            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-        ).select("doc_id", "bb.band", "bb.bucket")
+        bands = lsh_bands(docs)
         a = bands.alias("a")
         b = bands.alias("b")
         return (

@@ -82,8 +82,10 @@ GATE_ROTATION_LAST = [
     # is still strict-checked each pytest run by
     # tests/test_driver_gate_overflow.py with the driver's own comparison
     # word_char_counts / median_confidence stay unpinned: the 50-slot window
-    # reaches them anyway (68 entries - 19 FIRST - 18 LAST = 31 middle), so
-    # they get a free r5 re-certification instead of a displaced slot
+    # reaches them anyway (77 entries - 28 FIRST - 27 LAST = 22 middle, all
+    # 22 inside the window), so they get a free r5 re-certification instead
+    # of a displaced slot; test_rotation_is_complete_and_consistent guards
+    # the arithmetic if the catalog grows
     "unicode_dash_normalize",
     "hyphen_merge_strict",
     "pdf_date_parse_relational",

@@ -338,3 +338,62 @@ def test_sequence_packing_conservation_invariants(spark):
             assert r.n_tokens >= 1
         total = sum(r.n_tokens for r in rows)
         assert total // PACK_BUDGET <= len(bins) <= total // PACK_BUDGET + 1
+
+
+def test_gram_ops_survive_short_docs(spark):
+    """Docs shorter than the gram width must yield EMPTY gram sets (the
+    oracle semantics), not crash: Spark sequence(0, size-n) DESCENDS to
+    [0,-1] when size<n and slice(toks, 0, n) throws — word_grams guards
+    every gram-based operator (review r5 finding)."""
+    from smoldocling_ocr_spark.operators.corpusops import connected_components
+    from smoldocling_ocr_spark.operators.dedup import lsh_bands, word_grams
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),  # empty text
+            (1, "ok"),  # 1 word
+            (2, "two words"),
+            (7, "benchmark doc four words"),  # 4 words, bench id, < DECON_NGRAM
+            (3, "five full words present here indeed"),
+        ],
+        ["doc_id", "text"],
+    )
+    # lsh bands: short docs produce no shingles, hence no band rows
+    bands = lsh_bands(docs)
+    assert bands.filter(F.col("doc_id").isin(0, 1, 2)).count() == 0
+    assert bands.filter(F.col("doc_id") == 3).count() > 0
+    # CC over a corpus containing short docs: every doc labeled, no crash
+    comps = {r.doc_id: r.component for r in connected_components(docs).collect()}
+    assert set(comps) == {0, 1, 2, 3, 7}
+    # direct word_grams law: empty arrays below the width
+    rows = docs.select("doc_id", word_grams(F.split(F.col("text"), " "), 5).alias("g")).collect()
+    by_id = {r.doc_id: r.g for r in rows}
+    assert by_id[0] == [] and by_id[1] == [] and by_id[7] == []
+    assert len(by_id[3]) == 2
+
+
+def test_decontamination_handles_short_docs_vs_oracle(spark):
+    """decontamination_scan over a table with sub-gram-width docs matches
+    the DuckDB oracle (which was always immune) row for row."""
+    import duckdb
+
+    from smoldocling_ocr_spark.plans.catalog import oracle_queries, spark_queries
+    from tests.driver_mimic import _hash_frame
+
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(i, "ok" if i % 3 == 0 else "shared words run here now and again %d" % i)
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.coalesce(1).write.parquet(f"{td}/documents.parquet")
+        s = _hash_frame(spark_queries()["decontamination_scan"](spark, td).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{td}/documents.parquet/*.parquet')"
+        )
+        o = _hash_frame(con.execute(oracle_queries()["decontamination_scan"]).df())
+        assert s == o

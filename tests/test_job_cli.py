@@ -165,3 +165,28 @@ def test_curate_job_cli(spark, tmp_path):
     a = sorted(r.doc_id for r in curated.collect())
     b = sorted(r.doc_id for r in spark.read.parquet(f"{out2}/curated").collect())
     assert a == b
+
+
+def test_curate_job_benchmark_duplicate_contaminates_twin(spark, tmp_path):
+    """A training doc that duplicates a BENCHMARK doc must not ship: even
+    when clustering removes the benchmark copy (min doc_id survives), the
+    bench gram index is built from ALL input docs, so the surviving twin
+    is flagged contaminated and dropped (review r5 finding). Short docs in
+    the input must not crash any stage."""
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (6, bench_text, "en", "s", len(bench_text)),   # duplicate, survives CC (min id)
+        (7, bench_text, "en", "s", len(bench_text)),   # benchmark doc (7 % 50 == 7)
+        (1, "ok", "en", "s", 2),                       # sub-gram-width doc
+        (2, "clean document with plenty of unique words here", "en", "s", 48),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated")
+    _run_curate(["--input", inp, "--output", out, "--skip-sampling", "--cores", "8"])
+
+    curated_ids = {r.doc_id for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert 6 not in curated_ids  # the benchmark's twin is contaminated
+    assert 7 not in curated_ids  # the benchmark itself is held out
+    assert 2 in curated_ids
