@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.documents import read_table
+from ..sources.documents import read_table, spread
 
 END = "</w>"  # end-of-word sentinel (Sennrich et al. 2016)
 
@@ -131,7 +131,6 @@ def register(query) -> None:
 def bpe_encode_corpus(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
-    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Distributed BPE tokenization with a trained merge table — the
     consumer stage of bpe_train_merges (what "tokenize the corpus" means
@@ -152,7 +151,11 @@ def bpe_encode_corpus(
 
     from pyspark.sql import types as T
 
-    frozen = [(l, r) for l, r, _ in merges]
+    # r6 (ADVICE r5): the merge-rank table is built ONCE here and shipped in
+    # the closure; the old form rebuilt the [(l, r, 0)] list and apply_merges
+    # rebuilt its rank dict on every memo miss. The inlined reduction below
+    # is apply_merges verbatim minus that per-call setup.
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
 
     def encode_batches(batches):
         import hashlib
@@ -162,7 +165,19 @@ def bpe_encode_corpus(
         def seg(word: str) -> list[str]:
             got = memo.get(word)
             if got is None:
-                got = memo[word] = apply_merges(word, [(l, r, 0) for l, r in frozen])
+                symbols = list(word) + [END]
+                while True:
+                    best_rank, best_i = None, None
+                    for i, pair in enumerate(zip(symbols, symbols[1:])):
+                        r = ranks.get(pair)
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best_rank, best_i = r, i
+                    if best_i is None:
+                        break
+                    symbols[best_i : best_i + 2] = [
+                        symbols[best_i] + symbols[best_i + 1]
+                    ]
+                got = memo[word] = symbols
             return got
 
         for pdf in batches:
@@ -188,7 +203,13 @@ def bpe_encode_corpus(
             T.StructField("stream_fp", T.StringType()),
         ]
     )
-    return docs.select("doc_id", "text").mapInPandas(encode_batches, schema=schema).orderBy("doc_id")
+    # spread: one Python worker per scan partition — the tiny single-file
+    # scan would otherwise funnel the whole corpus through one worker
+    return (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(encode_batches, schema=schema)
+        .orderBy("doc_id")
+    )
 
 
 def register_encode(query) -> None:

@@ -58,59 +58,88 @@ SAMPLE_THRESHOLDS = {
 SAMPLE_DEFAULT_THRESHOLD = "80000000"  # 0.5 for unlisted languages
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    """Free specific checkpoint/persist blocks by RDD id (non-blocking)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """(doc_id, component, csize) for every document: component = min doc_id
     reachable through shared LSH buckets, csize = component population.
 
-    Each round is two key-hashed aggregations (doc→bucket min, bucket→doc
-    min) with map-side combine; convergence when no label changes. Rounds
-    needed = component diameter in the doc↔bucket graph (near-dup
-    components are shallow); a loud failure after ``max_iters`` rather
-    than a silent partial answer."""
-    # Iterative-loop hygiene: without truncation, round k's labels lineage
-    # contains every earlier round's joins, so each action re-executes the
-    # WHOLE chain (including the minhash signature aggregation) — observed
-    # 26 s at sf0.1 vs ~6 s truncated. bands is computed once and persisted
-    # (re-read every round); labels are eagerly localCheckpoint-ed each
-    # round, the standard GraphX/GraphFrames pattern (on a real cluster
-    # with a checkpoint dir, reliable checkpointing replaces this).
+    Each round is two key-hashed aggregations (doc→root min, root→doc min)
+    with map-side combine; convergence when no label changes. Rounds
+    needed = component diameter (near-dup components are shallow); a loud
+    failure after ``max_iters`` rather than a silent partial answer.
+
+    r6 shape: every (band, bucket) node is CONTRACTED to its min member doc
+    ("root") once, up front — two buckets sharing a root collapse into one
+    node, connectivity (and therefore the min-label fixpoint the oracle
+    checks) is unchanged, and each propagation round moves labels
+    doc → root → doc exactly as the (band, bucket) form did. The rounds
+    then iterate over a DISTINCT (doc_id, root) INT-pair edge relation —
+    materialized once with an eager localCheckpoint — instead of
+    re-joining the md5-string-keyed band relation twice per round; the
+    convergence test rides a ``chg`` column on the label update (one
+    action per round, no separate old⨝new join); and each round's
+    checkpoint blocks are freed as soon as the next round lands (the
+    GraphFrames-between-Pregel-rounds pattern, ADVICE r5). On a real
+    cluster with a checkpoint dir, reliable checkpointing replaces the
+    local variant."""
+    spark = docs.sparkSession
     bands = lsh_bands(docs).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    try:
-        for _ in range(max_iters):
-            bucket_min = (
-                bands.join(labels, "doc_id")
-                .groupBy("band", "bucket")
-                .agg(F.min("label").alias("blabel"))
-            )
-            pulled = (
-                bands.join(bucket_min, ["band", "bucket"])
-                .groupBy("doc_id")
-                .agg(F.min("blabel").alias("nlabel"))
-            )
-            new_labels = (
-                labels.join(pulled, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iters} rounds"
-            )
-    finally:
-        bands.unpersist()
+    before_edges = _persistent_rdd_ids(spark)
+    roots = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("root"))
+    edges = (
+        bands.join(roots, ["band", "bucket"])
+        .select("doc_id", "root")
+        .distinct()
+        .localCheckpoint()  # eager: signature pipeline runs exactly once
+    )
+    bands.unpersist()
+    edge_ids = _persistent_rdd_ids(spark) - before_edges
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    prev_ids: set[int] = set()
+    for _ in range(max_iters):
+        rmin = (
+            edges.join(labels, "doc_id")
+            .groupBy("root")
+            .agg(F.min("label").alias("rlabel"))
+        )
+        pulled = (
+            edges.join(rmin, "root")
+            .groupBy("doc_id")
+            .agg(F.min("rlabel").alias("nlabel"))
+        )
+        nlabel = F.least(F.col("label"), F.coalesce("nlabel", "label"))
+        before_round = _persistent_rdd_ids(spark)
+        new_labels = (
+            labels.join(pulled, "doc_id", "left")
+            .select("doc_id", nlabel.alias("label"), (nlabel < F.col("label")).alias("chg"))
+            .localCheckpoint(eager=False)
+        )
+        # one action per round: materializes the checkpoint AND yields the
+        # convergence count (the old form paid a second join + job for it)
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("doc_id", "label")
+        _unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = _persistent_rdd_ids(spark) - before_round
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    _unpersist_rdd_ids(spark, edge_ids)
     sizes = labels.groupBy("label").agg(F.count("*").alias("csize"))
     return (
         labels.join(sizes, "label")

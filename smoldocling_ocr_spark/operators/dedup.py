@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.documents import read_table
+from ..sources.documents import read_table, spread
 
 MINHASH_SEEDS = 8
 BAND_SIZE = 2
@@ -66,9 +66,14 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
     implementation so the pair query and the cluster query can never
     disagree): k md5-keyed min-hash aggregates over UNEXPLODED
     (doc_id, shingle) rows (map-side combine; min() is duplicate-invariant
-    so no distinct), then md5 band buckets."""
+    so no distinct), then md5 band buckets.
+
+    The input is ``spread`` so the k·|shingles| md5 evaluations — the
+    dominant cost of the signature — run at full width instead of on the
+    single-task scan of a tiny one-row-group file (no-op on pre-split
+    inputs)."""
     toks = F.split(F.lower(F.col("text")), " ")
-    sh = docs.select("doc_id", F.explode(word_grams(toks, 3)).alias("shingle"))
+    sh = spread(docs).select("doc_id", F.explode(word_grams(toks, 3)).alias("shingle"))
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"minh{s}")
         for s in range(MINHASH_SEEDS)
@@ -155,13 +160,21 @@ def register(query) -> None:
           SAME collected set (sz := size(shs), so prefix length and the
           verified set can never disagree under a hash collision).
         """
+        # r6 reuse hygiene (plans/r06/dedup_ngram_jaccard_before.txt showed
+        # 48 Exchanges: `sh` evaluated twice inside docsets and docsets
+        # evaluated THREE more times — prefix, verify-a, verify-b — each a
+        # full explode→distinct→agg rerun). Lazy localCheckpoints pin each
+        # shared relation to one evaluation inside the timed action, and the
+        # scan is spread off the single-task tiny-file partition.
         docs = read_table(spark, sf_dir, "documents")
         toks = F.split(F.lower(F.col("text")), " ")
         n = 3
         sh = (
-            docs.select("doc_id", F.explode(word_grams(toks, n)).alias("g"))
+            spread(docs)
+            .select("doc_id", F.explode(word_grams(toks, n)).alias("g"))
             .select("doc_id", F.xxhash64("g").alias("sh"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
         # One groupBy builds the rarest-first-sorted shingle set per doc;
@@ -176,6 +189,7 @@ def register(query) -> None:
                 F.transform("ranked", lambda s: s["sh"]).alias("shs"),
                 F.size("ranked").alias("sz"),
             )
+            .localCheckpoint(eager=False)
         )
         prefix_len = (
             F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
@@ -257,8 +271,17 @@ def register(query) -> None:
         # the shingle MULTISET equals the one over the set — skipping the
         # (doc_id, shingle-string) dedup removes a whole string shuffle
         # (the oracle keeps its DISTINCT; results are provably identical).
+        #
+        # r6: the banded relation feeds BOTH sides of the self-join, and the
+        # planner builds the broadcast side as a full second evaluation of
+        # the signature pipeline (no ReusedExchange across a
+        # BroadcastExchange boundary — plans/r06/dedup_minhash_lsh_before
+        # shows the whole explode→agg subtree twice). A lazy localCheckpoint
+        # materializes the signatures ONCE inside the timed action and both
+        # join sides read the checkpointed partitions; RDD-level storage, so
+        # no CacheManager entry can leak into other queries' plans.
         docs = read_table(spark, sf_dir, "documents")
-        bands = lsh_bands(docs)
+        bands = lsh_bands(docs).localCheckpoint(eager=False)
         a = bands.alias("a")
         b = bands.alias("b")
         return (
@@ -298,6 +321,12 @@ def register(query) -> None:
         # 16 bit-majorities as 16 aggregate expressions over the unexploded
         # (doc_id, tok) rows — one groupBy pass, map-side combine, no 16×
         # token explode (same shuffle-narrowing as dedup_minhash above).
+        # r6 note: spreading the scan and pinning the distinct exchange at
+        # full width were both tried and MEASURED SLOWER (interleaved A/B at
+        # sf0.1: 0.35 s original vs 0.74/0.82 s) — the 16 md5 bit signals
+        # over the deduped token relation are cheap enough here that an
+        # extra exchange of the exploded tokens costs more than it
+        # parallelizes. Kept in the original shape; see OPTIMIZATION_r06.md.
         docs = read_table(spark, sf_dir, "documents")
         toks = docs.select(
             "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
@@ -337,7 +366,14 @@ def keyed_min_owner(
     explicitly — the top ``hot_k`` keys by count (count >= ``hot_min``)
     ride as a constant-size broadcast and never shuffle on ``key``; only
     the uniform cold tail takes the shuffled join. Shared by
-    global_span_dedup and exact_substring_dedup."""
+    global_span_dedup and exact_substring_dedup.
+
+    r6 note: ADVICE r5 flagged the owner aggregate's double evaluation
+    (hot top-K build + cold join-back). Materializing it once via
+    localCheckpoint was tried and MEASURED SLOWER (interleaved A/B at
+    sf0.1: 1.9–2.9 s vs 0.36 s without — the checkpoint barrier +
+    store/reload costs more than re-running the cheap explode+groupBy), so
+    the double evaluation is kept deliberately; see OPTIMIZATION_r06.md."""
     owner = ex.groupBy(key).agg(
         F.min(owner_key).alias("owner"), F.count("*").alias("cnt")
     )
@@ -395,6 +431,10 @@ def span_dedup_frame(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
     )
+    # r6 note: `spread(docs)` here was tried and measured SLOWER (1.77 s →
+    # 2.19 s interleaved A/B at sf0.1): the ex subtree is evaluated five
+    # times (owner ×2, hot/cold branches, hot list) and each evaluation
+    # would repeat the width-restoring exchange of the full text column.
     ex = docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
     # owner = doc_id*owner_enc + pos, valid only while pos < owner_enc —
     # fail loudly on oversized documents instead of colliding silently

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.documents import read_table
+from ..sources.documents import read_table, spread
 
 TOPK = 3
 N_QUERIES = 5
@@ -277,19 +277,48 @@ def lsh_verified_pairs(
         bits = band_bits(n_rows if n_rows is not None else emb.count())
     if n_bands is None:
         n_bands = bands_for_bits(bits, threshold)
+    # r6: the tiny single-row-group scan serializes banding AND (worse) the
+    # exact verify of every candidate pair onto one task; spread the banding
+    # input and pin the candidate exchange at full width (the verify rides
+    # on the candidate partitioning — its per-row cost is a 64-dim fold,
+    # enormous relative to its 16 bytes, so AQE's byte-based coalescing
+    # would shrink it to ~1 task). repartition BY the dedup key means the
+    # dropDuplicates aggregate reuses this exchange instead of adding one.
+    p = emb.sparkSession.sparkContext.defaultParallelism
     keys = F.array(*[_band_key(b, bits) for b in range(n_bands)])
-    banded = emb.select("vec_id", F.posexplode(keys).alias("band", "bkey"))
+    banded = spread(emb).select("vec_id", F.posexplode(keys).alias("band", "bkey"))
     a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
     c = banded.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
     cand = (
         a.join(c, ["band", "bkey"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
+        .repartition(p, "vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = _cosine(F.col("ea"), F.col("eb"))
+    # per-VECTOR norms, hoisted out of the per-PAIR verify: sqrt-of-fold is
+    # the exact expression _cosine uses, so dot/(na*nb) is bit-identical to
+    # the per-pair form while paying the two norm folds N times, not |cand|
+    # times (2/3 of the verify flops gone)
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = dot / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -298,16 +327,64 @@ def lsh_verified_pairs(
     )
 
 
-def _scores_expr(centroids: list[list[float]]):
+def _matrix_expr(matrix):
+    """Nested array literal as ONE parsed SQL expression. ``F.lit`` on a
+    nested Python list expands to one py4j ``lit``/``array`` call per
+    element (~650 round trips for a 10×64 matrix, 0.9–2.9 s of driver time
+    PER Lloyd iteration — measured r6); a single ``F.expr`` string is one
+    round trip and one JVM parse. ``repr(float)`` is the shortest
+    round-tripping decimal and Java's parseDouble is correctly rounded, so
+    the literal doubles are bit-identical to the ``F.lit`` path."""
+    def fmt(x):
+        if isinstance(x, list):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        if isinstance(x, int):
+            return str(x)
+        return f"{float(x)!r}D"
+
+    return F.expr(fmt(matrix))
+
+
+def _scores_expr(centroids: list[list[float]], ne=None):
     """Per-row cosine scores against all centroids via ONE k×DIM matrix
-    LITERAL and a higher-order transform. One Literal node instead of k×DIM
+    literal and a higher-order zip_with. One Literal node instead of k×DIM
     expression nodes, so the generated code has the SAME shape on every
     Lloyd iteration (centroid values live in the literal's data, not the
     plan) — whole-stage codegen compiles once and is cache-hit for the rest
-    of the fit, where the old per-value-literal form recompiled ~1 s of
-    codegen per iteration."""
-    matrix = F.lit([[float(v) for v in c] for c in centroids])
-    return F.transform(matrix, lambda c: _cosine(F.col("embedding"), c))
+    of the fit.
+
+    r6: centroid norms are precomputed driver-side (same IEEE-double
+    sequential fold as the JVM expression, so sqrt(Σv²) is bit-identical)
+    and ride as a k-array literal; pass ``ne`` (an expression for the ROW's
+    norm, evaluated once in a prior projection) to stop re-folding the
+    row's 64 squares once per centroid. Scores equal the old
+    ``_cosine``-per-centroid form bit for bit: same dot fold, same norms,
+    same dot/(na·nb) arithmetic."""
+    import math
+
+    matrix = _matrix_expr([[float(v) for v in c] for c in centroids])
+    norms = _matrix_expr(
+        [math.sqrt(sum(float(v) * float(v) for v in c)) for c in centroids]
+    )
+    if ne is None:  # self-contained form (ne re-evaluated per centroid)
+        ne = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+
+    def dot(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), c, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.zip_with(matrix, norms, lambda c, nc: dot(c) / (ne * nc))
 
 
 def _assign_expr(centroids: list[list[float]]):
@@ -340,10 +417,17 @@ def assign_lists(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
       regardless of k, so k=4096 plans as fast as k=10.
     """
     if len(centroids) <= KMEANS_LITERAL_MAX_K:
-        scored = emb.select(
+        ne = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+        scored = emb.select("vec_id", "embedding", ne.alias("_ne")).select(
             "vec_id",
             "embedding",
-            _scores_expr(centroids).alias("scores"),
+            _scores_expr(centroids, ne=F.col("_ne")).alias("scores"),
         )
         return scored.select(
             "vec_id",
@@ -391,34 +475,48 @@ def kmeans_fit(
     re-normalization (asserted with tolerance in tests).
 
     At 10⁹ vectors this is k·DIM·P partial states per executor and k rows
-    to the driver per iteration — the same plan shape at any scale."""
-    seed_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
-    centroids = [[float(v) for v in r.embedding] for r in seed_rows]
-    history: list[float] = []
-    for _ in range(iters):
-        # assignment strategy is k-dependent (assign_lists): literal scores
-        # array under KMEANS_LITERAL_MAX_K (shuffle-free, cosine evaluated
-        # once per row), broadcast-join argmax above it (codegen-safe at
-        # large k)
-        agg = (
-            assign_lists(emb, centroids)
-            .groupBy("list_id")
-            .agg(
-                F.count("*").alias("members"),
-                F.avg(F.lit(1.0) - F.col("best")).alias("mean_dist"),
-                *[
-                    F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
-                    for i in range(DIM)
-                ],
+    to the driver per iteration — the same plan shape at any scale.
+
+    r6: the iterated input is spread to full parallelism and persisted for
+    the duration of the fit (the MLlib-KMeans pattern — every Lloyd
+    iteration re-reads it), then unpersisted before returning so nothing
+    cached leaks past the fit."""
+    work = spread(emb.select("vec_id", "embedding")).persist()
+    try:
+        seed_rows = work.orderBy("vec_id").limit(k).select("embedding").collect()
+        centroids = [[float(v) for v in r.embedding] for r in seed_rows]
+        history: list[float] = []
+        # iteration-invariant aggregate columns, built ONCE: Column objects
+        # are immutable expression wrappers, and constructing these 66
+        # aggregates costs ~260 py4j round trips — inside the loop that was
+        # pure per-iteration driver overhead
+        agg_cols = [
+            F.count("*").alias("members"),
+            F.avg(F.lit(1.0) - F.col("best")).alias("mean_dist"),
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
+                for i in range(DIM)
+            ],
+        ]
+        for _ in range(iters):
+            # assignment strategy is k-dependent (assign_lists): literal
+            # scores array under KMEANS_LITERAL_MAX_K (shuffle-free, cosine
+            # evaluated once per row), broadcast-join argmax above it
+            # (codegen-safe at large k)
+            agg = (
+                assign_lists(work, centroids)
+                .groupBy("list_id")
+                .agg(*agg_cols)
+                .collect()
             )
-            .collect()
-        )
-        total = sum(r["members"] for r in agg)
-        history.append(sum(r["mean_dist"] * r["members"] for r in agg) / total)
-        new_centroids = list(centroids)  # empty lists keep their old centroid
-        for r in agg:
-            new_centroids[r["list_id"]] = [r[f"c{i}"] for i in range(DIM)]
-        centroids = new_centroids
+            total = sum(r["members"] for r in agg)
+            history.append(sum(r["mean_dist"] * r["members"] for r in agg) / total)
+            new_centroids = list(centroids)  # empty lists keep their old centroid
+            for r in agg:
+                new_centroids[r["list_id"]] = [r[f"c{i}"] for i in range(DIM)]
+            centroids = new_centroids
+    finally:
+        work.unpersist()
     return centroids, history
 
 
@@ -439,7 +537,9 @@ def ivf_kmeans_topk(
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], ["list_id", "cvec"]
     )
-    listed = assign_lists(emb, centroids).select("vec_id", "embedding", "list_id")
+    # spread: the assignment + per-candidate exact cosine otherwise run on
+    # the single-task scan of the tiny parquet (no-op on pre-split inputs)
+    listed = assign_lists(spread(emb), centroids).select("vec_id", "embedding", "list_id")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -498,7 +598,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "qe", "label")
     )
-    cand = emb.join(F.broadcast(probes), on="label").filter(
+    # spread the list-scan side: per-candidate exact cosine is the dominant
+    # cost and otherwise rides the single-task scan (centroids/queries stay
+    # on the raw scan — their float accumulation order is unchanged)
+    cand = spread(emb).join(F.broadcast(probes), on="label").filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 5)
@@ -533,7 +636,11 @@ def register(query) -> None:
         q = emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
-        c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        # spread the corpus side: N_QUERIES × N exact cosines otherwise all
+        # evaluate on the single-task scan
+        c = spread(emb).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        )
         sim = F.round(_cosine(F.col("qe"), F.col("ce")), 5)
         scored = (
             q.join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -768,13 +875,15 @@ def pq_fit(
         [[float(v) for v in r.embedding[s * d : (s + 1) * d]] for r in seed_rows]
         for s in range(m)
     ]
-    subs = emb.select(
+    # r6: spread + persist for the duration of the fit (every iteration
+    # re-reads the exploded subvector relation), released before returning
+    subs = spread(emb).select(
         F.posexplode(
             F.array(*[F.slice("embedding", s * d + 1, d) for s in range(m)])
         ).alias("sub_id", "subvec")
-    )
+    ).persist()
     for _ in range(iters):
-        matrix = F.lit([[[float(v) for v in c] for c in book] for book in books])
+        matrix = _matrix_expr([[[float(v) for v in c] for c in book] for book in books])
         dists = F.transform(
             F.element_at(matrix, F.col("sub_id") + 1),
             lambda c: F.aggregate(
@@ -808,6 +917,7 @@ def pq_fit(
         for r in agg:
             new_books[r.sub_id][r.code] = [r[f"c{i}"] for i in range(d)]
         books = new_books
+    subs.unpersist()
     return books
 
 
@@ -816,7 +926,7 @@ def _pq_codes_expr(books: list[list[list[float]]]):
     shuffle-free, constant codegen shape across refits."""
     m = len(books)
     d = DIM // m
-    matrix = F.lit([[[float(v) for v in c] for c in book] for book in books])
+    matrix = _matrix_expr([[[float(v) for v in c] for c in book] for book in books])
     def code_for(s: int):
         sub = F.slice("embedding", s * d + 1, d)
         dists = F.transform(
@@ -858,7 +968,8 @@ def pq_topk(
     if books is None:
         books = pq_fit(emb, m=m, k=k, iters=iters)
     d = DIM // m
-    encoded = pq_encode(emb, books)
+    # spread: the m×k×(DIM/m) nearest-code encode is the heavy per-row step
+    encoded = pq_encode(spread(emb), books)
     q_rows = (
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -930,7 +1041,7 @@ def pq_topk_fixed_books(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * PQ_QUANT).cast("long")
     )
     quant = emb.select("vec_id", qe.alias("qe"))
-    matrix = F.lit(books)
+    matrix = _matrix_expr(books)
 
     def code_for(s: int):
         sub = F.slice("qe", s * d + 1, d)
@@ -944,7 +1055,11 @@ def pq_topk_fixed_books(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    encoded = quant.select("vec_id", F.array(*[code_for(s) for s in range(m)]).alias("codes"))
+    # spread: integer encode (m×k×d squared-diff folds per row) off the
+    # single-task scan; all-BIGINT arithmetic, so values are unaffected
+    encoded = spread(quant).select(
+        "vec_id", F.array(*[code_for(s) for s in range(m)]).alias("codes")
+    )
     q_rows = quant.filter(F.col("vec_id") < n_queries).collect()
     tables = []
     for r in q_rows:
@@ -1053,7 +1168,7 @@ def ivf_pq_topk(
     if books is None:
         books = pq_fit(emb, m=m, k=k)
     d = DIM // m
-    encoded = emb.select("vec_id", "label", _pq_codes_expr(books).alias("codes"))
+    encoded = spread(emb).select("vec_id", "label", _pq_codes_expr(books).alias("codes"))
     cent = emb.groupBy("label").agg(
         F.array(
             *[

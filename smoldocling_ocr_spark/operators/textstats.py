@@ -643,6 +643,14 @@ def register_unigram(query) -> None:
         dedup.keyed_min_owner, applied to a lookup instead of a min.
         All arithmetic is BIGINT (mean scaled ×1000 with integer
         division) — no float anywhere."""
+        # r6 note: ADVICE r5 flagged `freq`'s double evaluation (hot top-K
+        # + cold join). Pinning toks/freq with localCheckpoint was tried and
+        # MEASURED SLOWER at sf0.1 (1.3 s vs 0.5 s — the checkpoint barrier
+        # + store/reload exceeds re-running the cheap explode+agg), as was
+        # spreading the scan (0.91 s vs 0.44 s interleaved A/B — an extra
+        # exchange of the exploded tokens outweighs the parallelism on a
+        # token-explode this cheap). Kept in the original shape; see
+        # OPTIMIZATION_r06.md.
         docs = read_table(spark, sf_dir, "documents")
         toks = (
             docs.select(

@@ -54,6 +54,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input offers fewer partitions than the cluster has cores.
+
+    The driver testdata tables are single-file, single-row-group parquet, so
+    every scan yields ONE task and all downstream per-row CPU work (md5
+    min-hash signatures, higher-order-function cosines, n-gram explodes)
+    serializes onto one core no matter how many the session has. At real
+    scale the scan arrives pre-split (many files / row groups) and this is a
+    no-op — the partition count is compared against ``defaultParallelism``,
+    never a constant — so the extra exchange exists exactly where it buys
+    parallelism and nowhere else."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 TABLE_NAMES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )

@@ -301,11 +301,15 @@ def test_lsh_candidate_stage_single_exchange_pair(spark):
             1 for line in plan.splitlines() if line.startswith("Left keys") and "band" in line
         )
         assert n_band_joins == 1, plan
-        # total shuffles bounded: 2 (candidate join pair) + 2 (pair dedup +
-        # re-key) + 3 (verify join-backs) — the old per-band form planned 16
+        # total shuffles bounded: 2 (candidate join pair) + 2 (pair dedup —
+        # r6 pins its width explicitly so AQE's byte-based coalescing cannot
+        # serialize the 64-dim verify folds onto one task) + 3 (verify
+        # join-backs) + up to 2 from `spread` (round-robin width restore for
+        # the tiny single-row-group local scan; a no-op on pre-split inputs,
+        # so these two vanish at scale) — the old per-band form planned 16
         # joins with 2 exchanges each
         n_exchange = tree.count("+- Exchange") + tree.count(":- Exchange")
-        assert n_exchange <= 7, tree
+        assert n_exchange <= 9, tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
