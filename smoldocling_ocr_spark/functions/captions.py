@@ -50,9 +50,17 @@ FOOTNOTE_CONTENT_RES = [
 
 _LEADING_ID = re.compile(r"^\[?(\d+)\]?")
 
+# every caption pattern requires one of these literal words at position 0
+# (case-folded) — a C-speed startswith gate skips the 12-regex bank on the
+# overwhelmingly common non-caption element (r6; sound: regex match at pos 0
+# implies the prefix)
+_CAPTION_PREFIXES = ("table", "tbl", "figure", "fig", "image", "chart", "diagram", "graph")
+
 
 def parse_caption(text: str) -> dict[str, Any] | None:
     """Return {'kind','number','text'} if the line is a table/figure caption."""
+    if not text[:7].lower().startswith(_CAPTION_PREFIXES):
+        return None
     for pattern in TABLE_CAPTION_RES:
         m = pattern.match(text)
         if m:
@@ -123,6 +131,9 @@ def link_footnotes_page(
         if _y_of(elem) / page_height < PAGE_BOTTOM_THRESHOLD:
             continue
         content = (elem.get("content") or "").strip()
+        # every footnote pattern's first char is one of these (r6 gate)
+        if content[:1] not in "[(0123456789¹²³⁴⁵⁶⁷⁸⁹⁰":
+            continue
         for pattern in FOOTNOTE_CONTENT_RES:
             if pattern.match(content):
                 elem["semantic_role"] = "footnote"

@@ -164,7 +164,10 @@ def classify_noise(
     header/footer repeater > watermark > artifact.
     """
     s = content.strip()
-    if is_page_number(s):
+    # the _ANY banks are matched on the stripped text directly — the
+    # is_page_number/is_watermark/is_artifact wrappers would re-strip an
+    # already-stripped string once per predicate (r6; same matches)
+    if _PAGE_NUMBER_ANY.match(s):
         return "page_number"
     if repeaters is not None:
         masked = mask_numbers(s)
@@ -172,9 +175,9 @@ def classify_noise(
             return "header"
         if masked in repeaters["footers"]:
             return "footer"
-    if is_watermark(s):
+    if _WATERMARK_ANY.match(s):
         return "watermark"
-    if is_artifact(s, confidence):
+    if _ARTIFACT_ANY.match(s) or (confidence < 0.3 and len(s) < 10) or is_garbled(s):
         return "artifact"
     return None
 
