@@ -72,27 +72,29 @@ def main(argv: list[str] | None = None) -> None:
     # survivors would let the benchmark's own text ship in the training
     # set through a duplicate). word_grams guards docs shorter than the
     # gram width.
+    # The benchmark split is held out of the training corpus UNCONDITIONALLY
+    # (r6, ADVICE r5: the ~is_bench filter used to live inside the branch, so
+    # --skip-decontamination shipped the held-out benchmark docs into the
+    # curated output); the flag skips only the n-gram overlap scan.
+    is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
+    survivors = survivors.filter(~is_bench)
     if not args.skip_decontamination:
         from smoldocling_ocr_spark.operators.dedup import word_grams
 
         toks = F.split(F.lower(F.col("text")), " ")
-        is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
         bench = (
             docs.filter(is_bench)
             .select(F.explode(F.array_distinct(word_grams(toks, DECON_NGRAM))).alias("gram"))
             .distinct()
         )
-        surv_grams = survivors.filter(~is_bench).select(
+        surv_grams = survivors.select(
             "doc_id",
             F.explode(F.array_distinct(word_grams(toks, DECON_NGRAM))).alias("gram"),
         )
         contaminated = (
             surv_grams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
         )
-        survivors = (
-            survivors.filter(~is_bench)
-            .join(contaminated, "doc_id", "left_anti")
-        )
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
 
     # 3. cheap quality gate (full Gopher bank lives in textstats; the word
     # band is the stage-gate form)
