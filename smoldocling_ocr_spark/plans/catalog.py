@@ -44,9 +44,54 @@ def query(name: str, sql: str | None = None):
 # driver's exact pandas-fetch normalization at sf0.001. Rotation history is
 # documented in COVERAGE.md.
 GATE_ROTATION_FIRST = [
-    # r5 priority: (a) the 17 entries that had no driver row in r4 rotate
-    # back in, so CORRECTNESS_r05 ∪ r04 covers the full catalog (VERDICT r4
-    # task 4), (b) queries NEW or CHANGED this round
+    # r6 rotation (VERDICT r5 task 2): (a) the r4-certified set displaced in
+    # r5 rotates back into the gate so CORRECTNESS_r06 ∪ r05 covers the full
+    # catalog again, (b) every query whose EXECUTION PLAN changed in the r6
+    # optimization round (spread/width-pin/norm-hoist/checkpoint/root-edge
+    # rewrites) is pinned in so the driver re-certifies it at sf0.01.
+    "unicode_dash_normalize",
+    "hyphen_merge_strict",
+    "pdf_date_parse_relational",
+    "document_id_sha256",
+    "token_counting",
+    "doc_fingerprint",
+    "payload_size_tiers",
+    "confidence_statistics",
+    "quality_tiers",
+    "langid_histogram_relational",
+    "pii_scan_redact",
+    "bpe_train_merges",  # rows-only (iterative Sennrich fit)
+    "ann_pq_topk",  # rows-only; CHANGED r6 (matrix-literal build, spread+persist fit)
+    "ann_ivf_pq_topk",  # rows-only; CHANGED r6 (same)
+    "multimodal_decode_stats",
+    "ann_lsh_verified_neardup",  # CHANGED r6: spread + width-pinned dedup + norm hoist
+    "ann_lsh_buckets",
+    "ann_lsh_candidate_pairs",
+    "defragment_line_merge",
+    "ann_ivf_kmeans_topk",  # rows-only; CHANGED r6 (fit parallelized, literal build)
+    "text_quality_scoring",
+    "langid_script_heuristic",
+    "ann_ivf_topk",  # CHANGED r6: spread on the list-scan side
+    "embedding_label_centroids",
+    "ann_cosine_topk",  # CHANGED r6: spread on the corpus side
+    "embedding_cosine_neardup",
+    "dedup_simhash",
+    # changed in r6 but seated in FIRST/middle during r5 — pinned here so the
+    # driver re-certifies the new plans:
+    "dedup_minhash_lsh",  # CHANGED r6: signature localCheckpoint + spread
+    "dedup_ngram_jaccard",  # CHANGED r6: sh/docsets localCheckpoints + spread
+    "dedup_connected_components",  # CHANGED r6: root-edge contraction rewrite
+    "ann_pq_topk_fixed_books",  # CHANGED r6: parsed matrix literal + spread encode
+    "bpe_encode_corpus",  # rows-only; CHANGED r6: rank-table hoist + spread
+]
+GATE_ROTATION_LAST = [
+    # hash-certified in r5 (CORRECTNESS_r05 green rows), implementation
+    # UNCHANGED in r6 — rotated past the cap; every oracle-backed one is
+    # still strict-checked each pytest run by
+    # tests/test_driver_gate_overflow.py with the driver's own comparison.
+    # 27 entries exactly: 77 − 32 FIRST − 27 LAST = 18 middle, so the
+    # 50-slot window is FIRST + middle exactly;
+    # test_rotation_is_complete_and_consistent guards the arithmetic.
     "dedup_exact",
     "gopher_quality_filters",
     "gopher_repetition_filters",
@@ -64,56 +109,16 @@ GATE_ROTATION_FIRST = [
     "role_distribution",  # rows-only
     "extract_method_routing",  # rows-only
     "extract_language_detection",  # rows-only
-    "ann_pq_topk_fixed_books",  # NEW in r5 (oracle-backed ADC search, integer-exact)
-    "bpe_word_frequencies",  # NEW in r5 (the corpus-sized BPE stage, oracle-backed)
-    "global_span_dedup",  # CHANGED r5: hot-span broadcast split + overflow guard
-    "dedup_connected_components",  # NEW in r5 (LSH-bucket CC, recursive-CTE oracle)
-    "exact_substring_dedup",  # NEW in r5 (Lee et al. sliding-gram interval dedup)
-    "decontamination_scan",  # NEW in r5 (benchmark 5-gram overlap, broadcast index)
-    "stratified_sample_by_lang",  # NEW in r5 (deterministic md5-threshold sampling)
-    "unigram_freq_score",  # NEW in r5 (corpus-self-trained LM-quality proxy)
-    "training_chunks",  # NEW in r5 (overlapping token-window chunking)
-    "sequence_packing",  # NEW in r5 (sharded concat-then-cut packing)
-    "bpe_encode_corpus",  # NEW in r5 (distributed tokenization, rows-only)
-]
-GATE_ROTATION_LAST = [
-    # hash-certified (or rows-only by design) in r4, implementation
-    # unchanged this round — rotated past the cap; every oracle-backed one
-    # is still strict-checked each pytest run by
-    # tests/test_driver_gate_overflow.py with the driver's own comparison
-    # word_char_counts / median_confidence stay unpinned: the 50-slot window
-    # reaches them anyway (77 entries - 28 FIRST - 27 LAST = 22 middle, all
-    # 22 inside the window), so they get a free r5 re-certification instead
-    # of a displaced slot; test_rotation_is_complete_and_consistent guards
-    # the arithmetic if the catalog grows
-    "unicode_dash_normalize",
-    "hyphen_merge_strict",
-    "pdf_date_parse_relational",
-    "document_id_sha256",
-    "token_counting",
-    "doc_fingerprint",
-    "payload_size_tiers",
-    "confidence_statistics",
-    "quality_tiers",
-    "langid_histogram_relational",
-    "pii_scan_redact",
-    "bpe_train_merges",  # rows-only (iterative Sennrich fit)
-    "ann_pq_topk",  # rows-only (iterative Lloyd fit)
-    "ann_ivf_pq_topk",  # rows-only (iterative PQ fit)
-    "multimodal_decode_stats",
-    "ann_lsh_verified_neardup",
-    "ann_lsh_buckets",
-    "ann_lsh_candidate_pairs",
-    # displaced by the seven r5 additions (all certified r4, unchanged):
-    "defragment_line_merge",
-    "ann_ivf_kmeans_topk",  # rows-only (iterative Lloyd fit)
-    "text_quality_scoring",
-    "langid_script_heuristic",
-    "ann_ivf_topk",
-    "embedding_label_centroids",
-    "ann_cosine_topk",
-    "embedding_cosine_neardup",
-    "dedup_simhash",
+    "bpe_word_frequencies",
+    "global_span_dedup",  # unchanged in r6 (spread/ckpt measured slower, reverted)
+    "exact_substring_dedup",  # unchanged in r6 (same)
+    "decontamination_scan",
+    "stratified_sample_by_lang",
+    "unigram_freq_score",  # unchanged in r6 (ckpt/spread measured slower, reverted)
+    "training_chunks",
+    "sequence_packing",
+    "order_priority_check",
+    "small_quantity_revenue",
 ]
 
 
