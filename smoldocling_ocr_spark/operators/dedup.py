@@ -231,10 +231,30 @@ def register(query) -> None:
         inter = F.size(F.array_intersect("shs_a", "shs_b"))
         union = F.size("shs_a") + F.size("shs_b") - inter
         jac = inter / union
+        # r6: the threshold test in INTEGER form. `jac >= t` is pushed into
+        # the verify join's condition, where codegen does no subexpression
+        # elimination — the double form evaluates array_intersect (the
+        # dominant per-candidate cost: a hash-set build over both shingle
+        # sets) TWICE per candidate pair, once for the numerator and once
+        # inside `union`. With t = p/q exactly (Fraction(double) is the
+        # double's exact rational; t=0.5 -> 1/2):
+        #   inter/union >= p/q  <=>  (q+p)*inter >= p*(|A|+|B|)
+        # in exact arithmetic, and the double division cannot flip the
+        # comparison: inter, |A|, |B| are exact small ints and the true
+        # quotient is either >= t or <= t - 1/(q*union), a gap far wider
+        # than half an ulp at t for any feasible union — so this is
+        # bit-equivalent to the oracle's `n_common*1.0/union >= t`.
+        # The emitted `jaccard` value still uses the same double division.
+        from fractions import Fraction
+
+        tf = Fraction(JACCARD_THRESHOLD)
+        keep = inter * F.lit(tf.denominator + tf.numerator) >= (
+            F.size("shs_a") + F.size("shs_b")
+        ) * F.lit(tf.numerator)
         return (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
-            .filter(jac >= JACCARD_THRESHOLD)
+            .filter(keep)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
             .orderBy("doc_a", "doc_b")
         )
