@@ -169,11 +169,19 @@ def register(query) -> None:
         docs = read_table(spark, sf_dir, "documents")
         toks = F.split(F.lower(F.col("text")), " ")
         n = 3
+        # r6: per-doc set semantics via array_distinct BEFORE the explode —
+        # a map-side projection — instead of a corpus-wide
+        # (doc_id, shingle) DISTINCT, which shuffled the full exploded gram
+        # relation (260k rows at sf0.1; the whole corpus at scale) just to
+        # dedup within each doc. Same rows out: grams are already unique
+        # per doc after array_distinct, and df/sz/candidates derive from
+        # the identical per-doc sets (the oracle's DISTINCT is per doc_id
+        # too — a shingle appearing in many docs still yields one row per
+        # doc either way).
         sh = (
             spread(docs)
-            .select("doc_id", F.explode(word_grams(toks, n)).alias("g"))
+            .select("doc_id", F.explode(F.array_distinct(word_grams(toks, n))).alias("g"))
             .select("doc_id", F.xxhash64("g").alias("sh"))
-            .distinct()
             .localCheckpoint(eager=False)
         )
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
