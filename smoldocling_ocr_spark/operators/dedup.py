@@ -355,10 +355,18 @@ def register(query) -> None:
         # over the deduped token relation are cheap enough here that an
         # extra exchange of the exploded tokens costs more than it
         # parallelizes. Kept in the original shape; see OPTIMIZATION_r06.md.
+        # r6 third session: per-doc token dedup via array_distinct in the
+        # projection (map-side) instead of a corpus-wide (doc_id, tok)
+        # DISTINCT — drops the distinct's Exchange+HashAggregate pair, and
+        # the remaining groupBy(doc_id) gets map-side partial aggregation
+        # over already-unique per-doc tokens. Same (doc_id, tok) set, so
+        # every bit majority — and the oracle-hashed simhash string — is
+        # identical.
         docs = read_table(spark, sf_dir, "documents")
         toks = docs.select(
-            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
-        ).filter(F.col("tok") != "").distinct()
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),
+        ).filter(F.col("tok") != "")
         bit_aggs = []
         for b in range(16):
             token_bit = F.when(
