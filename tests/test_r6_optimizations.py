@@ -12,6 +12,11 @@ claim at the unit level so a future refactor cannot silently break it):
   sim value identical to the per-pair ``_cosine`` verify.
 * ``spread`` — widens only scans narrower than the session parallelism
   and never changes the row multiset.
+* jaccard integer verify filter — (q+p)·inter ≥ p·(|A|+|B|) agrees with
+  the oracle's double comparison on every feasible (inter, |A|, |B|).
+* per-doc ``array_distinct`` shingle/token builds — row-identical to the
+  corpus-wide DISTINCT they replaced, including repeat-heavy and
+  sub-width docs.
 """
 
 from __future__ import annotations
@@ -158,3 +163,62 @@ def test_spread_widens_narrow_scan_and_preserves_rows(spark):
     assert sorted(r.doc_id for r in s.select("doc_id").collect()) == sorted(
         r.doc_id for r in docs.select("doc_id").collect()
     )
+
+
+def test_jaccard_integer_filter_equals_double_threshold(spark):
+    """The verify join's integer form (q+p)*inter >= p*(|A|+|B|) must agree
+    with the oracle's double comparison inter/union >= t on every feasible
+    (inter, sa, sb), including exact-boundary pairs. Exhaustive check over
+    all set sizes up to 200 (covers every sz the sf0.001/sf0.01/sf0.1
+    corpora produce, avg ~52)."""
+    from fractions import Fraction
+
+    from smoldocling_ocr_spark.operators.dedup import JACCARD_THRESHOLD
+
+    tf = Fraction(JACCARD_THRESHOLD)
+    p, q = tf.numerator, tf.denominator
+    for sa in range(1, 201):
+        for sb in range(sa, 201, 7):  # stride the symmetric half for speed
+            for inter in range(0, sa + 1):
+                union = sa + sb - inter
+                double_form = (inter * 1.0 / union) >= JACCARD_THRESHOLD
+                int_form = inter * (q + p) >= p * (sa + sb)
+                assert int_form == double_form, (inter, sa, sb)
+
+
+def test_array_distinct_shingles_match_corpus_distinct(spark):
+    """The per-doc array_distinct shingle/token builds (jaccard, simhash)
+    must yield exactly the rows of the corpus-wide DISTINCT they replaced
+    — including docs with heavy internal repetition and sub-width docs."""
+    from smoldocling_ocr_spark.operators.dedup import word_grams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),          # heavy intra-doc gram repeats
+            (2, "a b c d e"),
+            (3, "x x x x x x"),                 # single repeated token
+            (4, "one two"),                     # below gram width
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    old_sh = (
+        docs.select("doc_id", F.explode(word_grams(toks, 3)).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("sh"))
+        .distinct()
+    )
+    new_sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_grams(toks, 3))).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("sh"))
+    assert sorted(map(tuple, old_sh.collect())) == sorted(map(tuple, new_sh.collect()))
+
+    old_toks = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    new_toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
+    ).filter(F.col("tok") != "")
+    assert sorted(map(tuple, old_toks.collect())) == sorted(map(tuple, new_toks.collect()))
